@@ -1,0 +1,150 @@
+"""Coordinate keys, deduplication and lookup over fixed-capacity buffers.
+
+TPU-native replacement for the reference's CUDA hashing stack
+(reference: torchsparse backend/hash/hash_cuda.cu:10-56 FNV-1a hash,
+backend/hashmap/hashmap_cuda.cu:8-212 cuckoo hash table,
+backend/others/query_cuda.cu:9-56 query kernel).
+
+Instead of a 64-bit hash + GPU cuckoo table, we pack integer voxel
+coordinates (b, x, y, z) *losslessly* into two int32 sort keys and use:
+
+- ``unique_coords``: lexicographic ``lax.sort`` + boundary cumsum for
+  deduplication (replaces ``torch.unique`` over FNV hashes, which can in
+  principle collide; ours cannot), and
+- ``lookup_coords``: a vectorized two-key binary search into the sorted key
+  table (replaces the cuckoo-table ``sphashquery``).
+
+Everything is static-shape: buffers carry a fixed capacity, padding lanes
+hold ``INVALID`` keys that sort to the end and never match a query.
+
+Coordinate budget (packed into two int31 keys):
+  key_hi = (b << 15) | x        b in [0, 2^16), x in [0, 2^15)
+  key_lo = (y << 15) | z        y in [0, 2^15), z in [0, 2^15)
+x/y/z must be non-negative (datasets min-shift coords, reference:
+pcseg/data/dataset/semantickitti/semantickitti_voxel.py:113) and < 32768 —
+at 0.05 m that is a 1.6 km span, far beyond any LiDAR scan.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+COORD_BITS = 15
+COORD_MAX = 1 << COORD_BITS  # 32768
+
+
+class Keys(NamedTuple):
+    """Two-int32 lossless coordinate key. Invalid lanes are (INT32_MAX, INT32_MAX)."""
+
+    hi: jax.Array  # [..., N] int32
+    lo: jax.Array  # [..., N] int32
+
+
+def make_keys(coords: jax.Array, valid: jax.Array) -> Keys:
+    """Pack coords [N, 4] (b, x, y, z int32) + valid [N] bool into sort keys.
+
+    Out-of-range coords are treated as invalid (mirrors the reference's
+    implicit assumption that quantized coords fit the hash domain).
+    """
+    b, x, y, z = coords[..., 0], coords[..., 1], coords[..., 2], coords[..., 3]
+    in_range = (
+        (x >= 0) & (x < COORD_MAX)
+        & (y >= 0) & (y < COORD_MAX)
+        & (z >= 0) & (z < COORD_MAX)
+        & (b >= 0)
+    )
+    ok = valid & in_range
+    hi = jnp.where(ok, (b << COORD_BITS) | x, INT32_MAX)
+    lo = jnp.where(ok, (y << COORD_BITS) | z, INT32_MAX)
+    return Keys(hi.astype(jnp.int32), lo.astype(jnp.int32))
+
+
+class UniqueResult(NamedTuple):
+    coords: jax.Array       # [cap, 4] int32 unique coords, sorted by key; padding = -1
+    valid: jax.Array        # [cap] bool
+    inverse: jax.Array      # [N] int32 index of each input row in `coords`; -1 for
+                            #     invalid inputs or rows beyond capacity
+    num_unique: jax.Array   # [] int32 number of unique valid coords (may exceed cap)
+    keys: Keys              # [cap] sorted keys of the unique coords (INVALID pad)
+
+
+def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> UniqueResult:
+    """Deduplicate coords into a fixed-capacity sorted table.
+
+    TPU equivalent of ``sphash`` + ``torch.unique`` + ``sphashquery``
+    (reference: pcseg/model/segmentor/voxel/minkunet/utils.py:16-19) done in
+    one pass: sort by (hi, lo), mark segment starts, prefix-sum for ids.
+
+    The output table is sorted by key, which is exactly what
+    :func:`lookup_coords` needs — no separate table build.
+    """
+    n = coords.shape[0]
+    keys = make_keys(coords, valid)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sh, sl, perm = jax.lax.sort((keys.hi, keys.lo, iota), num_keys=2)
+
+    valid_sorted = sh != INT32_MAX
+    prev_hi = jnp.concatenate([jnp.full((1,), -INT32_MAX, jnp.int32), sh[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), -INT32_MAX, jnp.int32), sl[:-1]])
+    is_new = ((sh != prev_hi) | (sl != prev_lo)) & valid_sorted
+
+    uid = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # segment id per sorted row
+    num_unique = jnp.sum(is_new.astype(jnp.int32))
+
+    in_cap = (uid >= 0) & (uid < cap) & valid_sorted
+    # representative row (first occurrence) per unique id -> unique coords/keys
+    scatter_id = jnp.where(is_new & in_cap, uid, cap)  # cap = drop slot
+    out_coords = jnp.full((cap + 1, 4), -1, jnp.int32)
+    out_coords = out_coords.at[scatter_id].set(coords[perm], mode="drop")
+    out_hi = jnp.full((cap + 1,), INT32_MAX, jnp.int32).at[scatter_id].set(sh, mode="drop")
+    out_lo = jnp.full((cap + 1,), INT32_MAX, jnp.int32).at[scatter_id].set(sl, mode="drop")
+
+    inv_sorted = jnp.where(in_cap, uid, -1)
+    inverse = jnp.zeros((n,), jnp.int32).at[perm].set(inv_sorted)
+
+    out_valid = out_hi[:cap] != INT32_MAX
+    return UniqueResult(
+        coords=out_coords[:cap],
+        valid=out_valid,
+        inverse=inverse,
+        num_unique=num_unique,
+        keys=Keys(out_hi[:cap], out_lo[:cap]),
+    )
+
+
+def lookup_keys(table: Keys, q: Keys) -> jax.Array:
+    """Find each query key in a *sorted* key table; -1 on miss.
+
+    Vectorized two-key binary search — the TPU replacement for the cuckoo
+    hash probe (reference: torchsparse backend/others/query_cuda.cu:9-56).
+    O(log cap) rounds of gathers, fully static control flow.
+    """
+    cap = table.hi.shape[0]
+    nbits = max(1, (cap - 1).bit_length())
+    qshape = q.hi.shape
+
+    log = jnp.zeros(qshape, jnp.int32)  # lower bound (inclusive) of search window
+    # classic power-of-two descent: after the loop, lo = index of last entry <= q
+    step = 1 << (nbits - 1)
+    for _ in range(nbits):
+        cand = log + step
+        ok = cand < cap
+        cand_c = jnp.minimum(cand, cap - 1)
+        th = table.hi[cand_c]
+        tl = table.lo[cand_c]
+        le = (th < q.hi) | ((th == q.hi) & (tl <= q.lo))
+        log = jnp.where(ok & le, cand, log)
+        step >>= 1
+
+    th = table.hi[log]
+    tl = table.lo[log]
+    hit = (th == q.hi) & (tl == q.lo) & (q.hi != INT32_MAX)
+    return jnp.where(hit, log, -1).astype(jnp.int32)
+
+
+def lookup_coords(table: Keys, coords: jax.Array, valid: jax.Array) -> jax.Array:
+    """Look up coords [..., 4] in a sorted unique-key table; -1 on miss."""
+    return lookup_keys(table, make_keys(coords, valid))
