@@ -1,0 +1,94 @@
+"""Benchmark harness: SemanticKITTI-scale MinkUNet training throughput.
+
+North-star metric (BASELINE.json): SemanticKITTI scans/sec/chip. The
+reference publishes no throughput, so the baseline is derived from its
+model-zoo training time: MinkUNet mk34_cr10, 36 epochs x 19130 train scans
+in ~12.0 h on 2xA100 (reference README.md:93) ->
+36*19130 / (12*3600) / 2 = 7.97 scans/sec per A100 chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on the real TPU chip when available (axon platform), CPU otherwise.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from openpcseg_tpu.config import CfgDict
+from openpcseg_tpu.data import synthetic_batch
+from openpcseg_tpu.engine import SegTask
+
+# reference A100 training throughput (see module docstring)
+BASELINE_SCANS_PER_SEC_PER_CHIP = 36 * 19130 / (12.0 * 3600) / 2
+
+
+def mk_cfgs(voxel_cap: int):
+    return CfgDict({
+        "DATA": {"DATASET": "semantickitti", "VOXEL_SIZE": 0.05},
+        "MODEL": {
+            "NAME": "MinkUNet", "IGNORE_LABEL": 0, "IN_FEATURE_DIM": 4,
+            "BLOCK": "ResBlock", "NUM_LAYER": [2, 3, 4, 6, 2, 2, 2, 2],
+            "PLANES": [32, 32, 64, 128, 256, 256, 128, 96, 96],
+            "cr": 1.0, "DROPOUT_P": 0.0, "LABEL_SMOOTHING": 0.1,
+        },
+        "OPTIM": {
+            "BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 36, "OPTIMIZER": "sgd",
+            "LR_PER_SAMPLE": 0.02, "WEIGHT_DECAY": 0.0001, "MOMENTUM": 0.9,
+            "NESTEROV": True, "GRAD_NORM_CLIP": 10,
+            "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
+        },
+        "TPU": {"VOXEL_CAP_PER_SCAN": voxel_cap},
+    })
+
+
+def main():
+    from openpcseg_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        batch, n_pts, voxel_cap, iters = 2, 131072, 98304, 50
+    else:  # CPU fallback so the harness always reports something
+        batch, n_pts, voxel_cap, iters = 1, 8192, 8192, 3
+
+    cfgs = mk_cfgs(voxel_cap)
+    task = SegTask(
+        cfgs, num_class=20, batch_per_device=batch,
+        iters_per_epoch=19130 // batch,
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    batch_data = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(
+            0, batch, n_points=n_pts, cap=n_pts).items()
+    }
+    rng = jax.random.PRNGKey(0)
+    state = task.init_state(rng, batch_data)
+    step = jax.jit(task.train_step, donate_argnums=(0,))
+
+    # compile + warmup. NOTE: through remote-device tunnels (axon),
+    # block_until_ready can return before execution completes; only a
+    # device_get of a result forces real completion, so all timing
+    # endpoints below use device_get.
+    state, m = step(state, batch_data, rng)
+    float(jax.device_get(m["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch_data, rng)
+    float(jax.device_get(m["loss"]))
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "semantickitti_minkunet_train_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Geometry pass: build the voxel pyramid + all kernel maps for a forward.
+
+This replaces the reference's lazy, cache-on-first-use kernel-map
+construction inside every conv call (reference: torchsparse
+nn/functional/conv.py:122-177, SparseTensor.cmaps/kmaps caches,
+torchsparse/tensor.py:11-105) with one explicit precompute: coords at every
+stride, submanifold/strided/transposed kernel maps, and point<->voxel
+transfer tables. Features never enter here, so the whole pass is geometry
+only and the conv network becomes pure gather+matmul.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import unique_coords, lookup_coords
+from ..ops.kmap import (
+    KernelSize,
+    build_down_kmap,
+    build_downsample,
+    build_subm_kmap,
+    build_up_kmap,
+)
+from ..ops.voxelize import devoxelize_indices_weights
+from .tensor import DevoxTable, PointBuffer, SparseLevel, VoxelPyramid
+
+
+def build_pyramid(
+    coords0: jax.Array,                 # [n0, 4] int32 level-0 coords (b,x,y,z)
+    valid0: jax.Array,                  # [n0] bool
+    caps: Sequence[int],                # capacity per level (len = num levels)
+    *,
+    subm_kernel: Union[KernelSize, Sequence[Optional[KernelSize]]] = 3,
+    updown_kernel: int = 2,
+    point_coords: Optional[jax.Array] = None,   # [np, 3] float level-0 units
+    point_batch: Optional[jax.Array] = None,    # [np]
+    point_valid: Optional[jax.Array] = None,    # [np]
+    devox_levels: Sequence[int] = (),
+    p2v_levels: Sequence[int] = (),
+) -> VoxelPyramid:
+    """Build an L-level pyramid (stride 2^l per level) with all kernel maps.
+
+    `coords0` must already be deduplicated (e.g. the output of
+    ops.unique_coords / data-layer quantization) and key-sorted; if unsure,
+    run build_level0 first.
+    """
+    num_levels = len(caps)
+    if isinstance(subm_kernel, (int, tuple)):
+        subm_kernels: list = [subm_kernel] * num_levels
+    else:
+        subm_kernels = list(subm_kernel)
+    assert len(subm_kernels) == num_levels
+
+    levels: list[SparseLevel] = []
+    # level 0 table (re-sort/dedup is cheap insurance and gives us the keys)
+    u0 = unique_coords(coords0, valid0, caps[0])
+    lvl = SparseLevel(coords=u0.coords, valid=u0.valid, keys=u0.keys, stride=1)
+    levels.append(lvl)
+
+    for l in range(1, num_levels):
+        prev = levels[l - 1]
+        down = build_downsample(prev.coords, prev.valid, caps[l], stride=2)
+        levels.append(
+            SparseLevel(
+                coords=down.coords, valid=down.valid, keys=down.keys,
+                stride=prev.stride * 2,
+            )
+        )
+
+    # kernel maps (must come after all coords exist)
+    for l in range(num_levels):
+        lvl = levels[l]
+        subm = (
+            build_subm_kmap(lvl.keys, lvl.coords, lvl.valid, subm_kernels[l])
+            if subm_kernels[l] is not None else None
+        )
+        down = (
+            build_down_kmap(
+                levels[l - 1].keys, True, lvl.coords, lvl.valid,
+                kernel_size=updown_kernel, stride=2,
+            )
+            if l >= 1 else None
+        )
+        up = (
+            build_up_kmap(
+                levels[l + 1].keys, lvl.coords, lvl.valid,
+                kernel_size=updown_kernel, stride=2,
+            )
+            if l + 1 < num_levels else None
+        )
+        levels[l] = lvl.replace(subm_kmap=subm, down_kmap=down, up_kmap=up)
+
+    # point-side tables
+    if point_coords is None:
+        # the points ARE the level-0 voxel sites (voxel-modality default,
+        # reference semantickitti_voxel.py pre-dedups on the host)
+        point_coords = levels[0].coords[:, 1:].astype(jnp.float32)
+        point_batch = levels[0].coords[:, 0]
+        point_valid = levels[0].valid
+        p2v0 = jnp.where(
+            point_valid, jnp.arange(point_coords.shape[0], dtype=jnp.int32), -1
+        )
+    else:
+        cell = jnp.concatenate(
+            [point_batch[:, None],
+             jnp.floor(point_coords).astype(jnp.int32)], axis=1)
+        p2v0 = lookup_coords(levels[0].keys, cell, point_valid)
+
+    points = PointBuffer(coords=point_coords, batch=point_batch, valid=point_valid)
+
+    devox: Dict[int, DevoxTable] = {}
+    for l in devox_levels:
+        idx, w = devoxelize_indices_weights(
+            point_coords, point_batch, point_valid,
+            levels[l].keys, stride=levels[l].stride,
+        )
+        devox[l] = DevoxTable(idx=idx, weights=w)
+
+    p2v: Dict[int, jax.Array] = {}
+    for l in p2v_levels:
+        if l == 0:
+            p2v[0] = p2v0
+        else:
+            cell = jnp.concatenate(
+                [point_batch[:, None],
+                 (jnp.floor(point_coords).astype(jnp.int32) // levels[l].stride)],
+                axis=1)
+            p2v[l] = lookup_coords(levels[l].keys, cell, point_valid)
+
+    return VoxelPyramid(
+        levels=tuple(levels),
+        points=points,
+        point_to_voxel0=p2v0,
+        devox=devox,
+        p2v=p2v,
+    )

@@ -1,0 +1,53 @@
+"""Data layer: dataset registry + loader factory.
+
+Mirrors the reference's build_dataloader surface
+(reference: pcseg/data/__init__.py:46-154) mapping (modality, dataset) to a
+view class; distribution is handled by slicing the global batch across the
+mesh (parallel/mesh.py) instead of a DistributedSampler.
+"""
+from __future__ import annotations
+
+from .synthetic import pad_scan, synthetic_batch, synthetic_scan  # noqa: F401
+from .semantickitti import SemantickittiDataset  # noqa: F401
+from .voxel_view import BatchLoader, SemkittiVoxelDataset, collate  # noqa: F401
+from . import semantickitti_meta  # noqa: F401
+
+_VIEWS = {
+    ("voxel", "semantickitti"): SemkittiVoxelDataset,
+    ("voxel", "scribblekitti"): SemkittiVoxelDataset,
+}
+
+
+def num_classes_for(dataset: str) -> int:
+    """(reference train.py:157-163)"""
+    return {"nuscenes": 17, "semantickitti": 20, "scribblekitti": 20,
+            "waymo": 23}[dataset]
+
+
+def build_dataloader(
+    data_cfgs,
+    modality: str,
+    batch_size: int,
+    *,
+    training: bool = True,
+    root_path: str | None = None,
+    point_cap: int = 131072,
+    num_workers: int = 4,
+    seed: int = 0,
+):
+    """Returns (dataset, loader). Raises KeyError for unwired combos."""
+    key = (modality, data_cfgs.DATASET)
+    if key not in _VIEWS:
+        raise NotImplementedError(
+            f"no dataset view for modality={modality!r}, "
+            f"dataset={data_cfgs.DATASET!r}; available: {sorted(_VIEWS)}"
+        )
+    dataset = _VIEWS[key](
+        data_cfgs, training=training, root_path=root_path,
+        point_cap=point_cap, seed=seed,
+    )
+    loader = BatchLoader(
+        dataset, batch_size, shuffle=training,
+        num_workers=num_workers, seed=seed, drop_last=training,
+    )
+    return dataset, loader

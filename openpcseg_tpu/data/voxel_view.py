@@ -1,0 +1,182 @@
+"""Voxel-modality dataset view + batching (host side, numpy).
+
+Counterpart of the reference's SemkittiVoxelDataset
+(reference: pcseg/data/dataset/semantickitti/semantickitti_voxel.py:17-164)
+with one structural difference: the host does NOT quantize/dedup. It loads,
+augments (aug_points :83-110) and pads each scan to a fixed capacity; the
+round(xyz/voxel)/min-shift/unique pipeline runs inside jit on device
+(core/batch.py), keeping CPU workers off the critical path (the reference's
+host sparse_quantize is a measured bottleneck, SURVEY.md §3.6).
+
+TTA (10 deterministic votes, reference :62-69) is exposed via
+``get_tta_sample``.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .augment import aug_points
+from .semantickitti import SemantickittiDataset
+from .semantickitti_meta import CLASS_NAMES
+
+
+class SemkittiVoxelDataset:
+    """Yields padded per-scan dicts: xyz [cap,3], feats [cap,4], labels, valid."""
+
+    def __init__(
+        self,
+        data_cfgs,
+        training: bool = True,
+        root_path: Optional[str] = None,
+        point_cap: int = 131072,
+        seed: int = 0,
+    ):
+        self.data_cfgs = data_cfgs
+        self.training = training
+        self.point_cap = point_cap
+        self.class_names = CLASS_NAMES
+        self.source = SemantickittiDataset(
+            data_cfgs, training=training, root_path=root_path,
+            if_scribble=(data_cfgs.DATASET == "scribblekitti"), seed=seed,
+        )
+        self.if_flip = data_cfgs.get("FLIP_AUG", True)
+        self.if_scale = data_cfgs.get("SCALE_AUG", True)
+        self.scale_axis = data_cfgs.get("SCALE_AUG_AXIS", "xyz")
+        self.scale_range = data_cfgs.get("SCALE_AUG_RANGE", [0.9, 1.1])
+        self.if_jitter = data_cfgs.get("TRANSFORM_AUG", True)
+        self.if_rotate = data_cfgs.get("ROTATE_AUG", True)
+        self.if_tta = data_cfgs.get("TTA", False)
+        self.rng = np.random.default_rng(seed + 1)
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def resample(self) -> None:
+        self.source.resample()
+
+    def _pack(self, xyz, feats, labels, path) -> Dict[str, np.ndarray]:
+        cap = self.point_cap
+        n = min(len(xyz), cap)
+        out = {
+            "xyz": np.zeros((cap, 3), np.float32),
+            "feats": np.zeros((cap, feats.shape[1]), np.float32),
+            "labels": np.full((cap,), -1, np.int32),
+            "valid": np.zeros((cap,), bool),
+        }
+        if len(xyz) > cap:  # keep a random subset, never bias by file order
+            sel = self.rng.choice(len(xyz), cap, replace=False)
+            xyz, feats, labels = xyz[sel], feats[sel], labels[sel]
+        out["xyz"][:n] = xyz[:n]
+        out["feats"][:n] = feats[:n]
+        out["labels"][:n] = labels[:n]
+        out["valid"][:n] = True
+        out["name"] = path
+        return out
+
+    def get_sample(self, index: int, num_vote: int = 0,
+                   tta: bool = False) -> Dict[str, np.ndarray]:
+        pc = self.source[index]
+        point = pc["xyzret"][:, :4].astype(np.float32)  # x,y,z,intensity
+        labels = pc["labels"].reshape(-1)
+
+        if self.training or tta:
+            point[:, :3] = aug_points(
+                point[:, :3],
+                if_flip=False if tta else self.if_flip,
+                if_scale=self.if_scale,
+                scale_axis=self.scale_axis,
+                scale_range=[0.95, 1.05] if tta else self.scale_range,
+                if_jitter=False if tta else self.if_jitter,
+                if_rotate=self.if_rotate,
+                if_tta=tta,
+                num_vote=num_vote,
+                rng=self.rng,
+            )
+        # feats = augmented xyz + intensity (reference feat_ = point,
+        # semantickitti_voxel.py:114)
+        feats = point
+        return self._pack(point[:, :3], feats, labels, pc["path"])
+
+    def __getitem__(self, index: int):
+        return self.get_sample(index)
+
+    def get_tta_sample(self, index: int, voting: int = 10):
+        """10-vote TTA variants of one scan (reference :62-69)."""
+        return [self.get_sample(index, num_vote=v, tta=True)
+                for v in range(voting)]
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    """Stack padded scans into a batch dict (+ scan names)."""
+    batch = {
+        k: np.stack([s[k] for s in samples])
+        for k in ("xyz", "feats", "labels", "valid")
+    }
+    batch["name"] = [s["name"] for s in samples]
+    return batch
+
+
+class BatchLoader:
+    """Minimal epoch iterator with background prefetch threads.
+
+    Replaces torch's DataLoader worker pool (reference
+    pcseg/data/__init__.py:96-139) with a thread pool — the heavy transform
+    (quantize/dedup) runs on device, so host work is IO + augs only.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            for bi in range(worker_id, nb, self.num_workers):
+                if stop.is_set():
+                    return
+                samples = [self.dataset[i] for i in batches[bi]]
+                q.put((bi, collate(samples)))
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            pending: dict[int, Dict[str, np.ndarray]] = {}
+            nxt = 0
+            got = 0
+            while got < nb:
+                bi, b = q.get()
+                pending[bi] = b
+                got += 1
+                while nxt in pending:
+                    yield pending.pop(nxt)
+                    nxt += 1
+            while nxt in pending:
+                yield pending.pop(nxt)
+                nxt += 1
+        finally:
+            stop.set()

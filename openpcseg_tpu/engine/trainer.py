@@ -1,0 +1,261 @@
+"""Trainer: the full train/eval/checkpoint harness.
+
+TPU-native rebuild of the reference Trainer (reference: train.py:113-543):
+- epoch train loop with per-epoch dataset resample (train.py:403-404),
+- periodic eval with per-class IoU table (train.py:408-492),
+- orbax checkpointing of {params, batch_stats, opt_state, step, epoch} with
+  mtime-latest auto-resume (reference train.py:203-213, 285-301),
+- LR linear-scaling rule (train.py:251) applied in SegTask,
+- data-parallel scale-out via mesh/shard_map instead of DDP.
+
+Device-sync discipline: metrics are fetched every ``log_interval`` steps
+(one device_get), not per step — per-step host syncs through a remote-device
+tunnel cost orders of magnitude more than the step itself (measured; the
+reference per-iteration all_gathers timings, train.py:377-379, a pattern we
+deliberately do not reproduce).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgDict, log_config_to_file
+from ..data import build_dataloader, num_classes_for
+from ..data.semantickitti_meta import CLASS_NAMES
+from ..parallel import make_data_mesh, shard_eval_step, shard_train_step
+from ..utils.logger import AverageMeter, MetricsWriter, create_logger
+from ..utils.metrics import miou_from_hist
+from .task import SegTask, TrainState
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class Trainer:
+    def __init__(self, args, cfgs: CfgDict):
+        self.args = args
+        self.cfgs = cfgs
+        self.log_interval = getattr(args, "log_interval", 50)
+
+        # --- experiment tree (reference train.py:257-262) ---
+        root = Path(getattr(args, "log_dir", "logs"))
+        self.exp_dir = root / cfgs.get("EXP_GROUP_PATH", "exp") / cfgs.get(
+            "TAG", "default") / getattr(args, "extra_tag", "default")
+        self.ckp_dir = self.exp_dir / "ckp"
+        self.ckp_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = create_logger(self.exp_dir / f"log_train_{int(time.time())}.txt")
+        self.metrics = MetricsWriter(self.exp_dir / "metrics.jsonl")
+        log_config_to_file(cfgs, logger=self.logger)
+
+        # --- mesh / parallel (replaces dist init, train.py:234-249) ---
+        n_dev = getattr(args, "num_devices", 0) or jax.device_count()
+        self.mesh = make_data_mesh(n_dev) if n_dev > 1 else None
+        self.num_devices = n_dev if self.mesh is not None else 1
+        self.batch_per_device = int(
+            getattr(args, "batch_size", 0) or cfgs.OPTIM.BATCH_SIZE_PER_GPU
+        )
+        self.global_batch = self.batch_per_device * self.num_devices
+
+        # --- data ---
+        modality = cfgs.MODALITY
+        self.num_class = num_classes_for(cfgs.DATA.DATASET)
+        point_cap = cfgs.get("TPU", {}).get("POINT_CAP_PER_SCAN", 131072)
+        self.train_set, self.train_loader = build_dataloader(
+            cfgs.DATA, modality, self.global_batch, training=True,
+            point_cap=point_cap, num_workers=getattr(args, "workers", 4),
+            seed=getattr(args, "seed", 0),
+        )
+        self.val_set, self.val_loader = build_dataloader(
+            cfgs.DATA, modality, self.global_batch, training=False,
+            point_cap=point_cap, num_workers=getattr(args, "workers", 4),
+            seed=getattr(args, "seed", 0),
+        )
+
+        self.total_epochs = int(
+            getattr(args, "epochs", 0) or cfgs.OPTIM.NUM_EPOCHS)
+        iters_per_epoch = max(1, len(self.train_loader))
+
+        # --- task (model + losses + optimizer + jitted steps) ---
+        compute_dtype = (
+            jnp.bfloat16
+            if cfgs.get("TPU", {}).get("COMPUTE_DTYPE", "bfloat16") == "bfloat16"
+            and jax.devices()[0].platform != "cpu"
+            else jnp.float32
+        )
+        self.task = SegTask(
+            cfgs, self.num_class,
+            batch_per_device=self.batch_per_device,
+            iters_per_epoch=iters_per_epoch,
+            total_epochs=self.total_epochs,
+            num_devices=self.num_devices,
+            axis_name="data" if self.mesh is not None else None,
+            compute_dtype=compute_dtype,
+        )
+
+        self.rng = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+        self.cur_epoch = 0
+
+        self._train_step = None
+        self._eval_step = None
+
+        if _HAS_ORBAX:
+            self.ckpt_mgr = ocp.CheckpointManager(
+                self.ckp_dir.resolve(),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=getattr(args, "max_ckp_save_num", 5),
+                ),
+            )
+        else:
+            self.ckpt_mgr = None
+
+    # ------------------------------------------------------------- setup --
+
+    def _compile_steps(self, batch):
+        if self.mesh is not None:
+            self._train_step = shard_train_step(self.task, self.mesh, batch)
+            self._eval_step = shard_eval_step(self.task, self.mesh, batch)
+        else:
+            self._train_step = jax.jit(self.task.train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(self.task.eval_step)
+
+    def _device_batch(self, batch):
+        return {k: jnp.asarray(v) for k, v in batch.items() if k != "name"}
+
+    def init_or_resume(self, batch) -> None:
+        local = {k: v[: self.batch_per_device] for k, v in batch.items()}
+        self.state = self.task.init_state(self.rng, local)
+        if getattr(self.args, "ckp", None):
+            self.restore(self.args.ckp)
+        elif self.ckpt_mgr is not None and self.ckpt_mgr.latest_step() is not None:
+            self.restore(None)
+
+    # ------------------------------------------------------- checkpointing --
+
+    def save_checkpoint(self, epoch: int) -> None:
+        """(reference train.py:285-301 save_checkpoint, rank-0 write)"""
+        if self.ckpt_mgr is None:
+            return
+        payload = {
+            "state": jax.device_get(self.state),
+            "epoch": np.asarray(epoch),
+        }
+        self.ckpt_mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self.ckpt_mgr.wait_until_finished()
+        self.logger.info(f"checkpoint saved @ epoch {epoch}")
+
+    def restore(self, path_or_none) -> None:
+        """Auto-resume from the latest checkpoint (reference train.py:203-213)."""
+        if self.ckpt_mgr is None:
+            return
+        step = self.ckpt_mgr.latest_step() if path_or_none is None else None
+        if path_or_none is None and step is None:
+            return
+        template = {
+            "state": jax.device_get(self.state),
+            "epoch": np.asarray(0),
+        }
+        if path_or_none is None:
+            payload = self.ckpt_mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        else:
+            payload = ocp.StandardCheckpointer().restore(
+                Path(path_or_none).resolve(), template)
+        # template-typed restore: payload["state"] is a TrainState pytree
+        self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        self.start_epoch = int(payload["epoch"]) + 1
+        self.logger.info(f"resumed from epoch {int(payload['epoch'])}")
+
+    # --------------------------------------------------------------- train --
+
+    def train_one_epoch(self, epoch: int) -> None:
+        loss_meter = AverageMeter()
+        t_data = AverageMeter()
+        t_step = AverageMeter()
+        last = time.time()
+        pending = []  # (step, metrics) fetched lazily
+
+        for it, batch in enumerate(self.train_loader):
+            db = self._device_batch(batch)
+            t_data.update(time.time() - last)
+
+            if self._train_step is None:
+                self._compile_steps(db)
+            if self.state is None:
+                self.init_or_resume(db)
+
+            self.state, m = self._train_step(self.state, db, self.rng)
+            pending.append(m)
+
+            if (it + 1) % self.log_interval == 0:
+                fetched = jax.device_get(pending[-1])
+                pending.clear()
+                loss_meter.update(fetched["loss"])
+                if fetched["voxel_overflow"] > 0:
+                    self.logger.warning(
+                        f"voxel overflow: {int(fetched['voxel_overflow'])} "
+                        f"voxels dropped (raise TPU.VOXEL_CAP_PER_SCAN)")
+                step = int(fetched.get("step", (epoch * len(self.train_loader) + it)))
+                self.metrics.write(
+                    step, loss=fetched["loss"], lr=fetched["lr"],
+                    num_voxels=fetched["num_voxels"],
+                    data_time=t_data.avg, step_time=t_step.avg,
+                )
+                self.logger.info(
+                    f"epoch {epoch} it {it + 1}/{len(self.train_loader)} "
+                    f"loss {fetched['loss']:.4f} lr {fetched['lr']:.5f} "
+                    f"data {t_data.avg * 1e3:.0f}ms")
+            t_step.update(time.time() - last)
+            last = time.time()
+
+        self.train_set.resample()  # (reference train.py:403-404)
+
+    def evaluate(self, prefix: str = "val") -> float:
+        """Full-loader eval -> mIoU (reference train.py:408-492)."""
+        hist = np.zeros((self.num_class, self.num_class), np.int64)
+        for batch in self.val_loader:
+            db = self._device_batch(batch)
+            if self._eval_step is None:
+                self._compile_steps(db)
+            if self.state is None:
+                self.init_or_resume(db)
+            out = self._eval_step(self.state, db)
+            hist += np.asarray(jax.device_get(out["hist"]), np.int64)
+
+        unique_label = np.arange(self.num_class - 1)
+        miou, iou = miou_from_hist(hist, unique_label)
+        lines = [f"{prefix} mIoU: {miou:.2f}"]
+        for ci, name in enumerate(CLASS_NAMES[1:self.num_class]):
+            lines.append(f"  {name:>14s}: {iou[ci]:6.2f}")
+        self.logger.info("\n".join(lines))
+        self.metrics.write(int(self.state.step) if self.state else 0,
+                           **{f"{prefix}_miou": miou})
+        return miou
+
+    def train(self) -> None:
+        eval_interval = getattr(self.args, "eval_interval", 1)
+        ckp_interval = getattr(self.args, "ckp_save_interval", 1)
+        # initialize / auto-resume BEFORE the epoch loop so start_epoch is
+        # honored (restore inside the first step would be one epoch late)
+        if self.state is None:
+            for batch in self.train_loader:
+                db = self._device_batch(batch)
+                self._compile_steps(db)
+                self.init_or_resume(db)
+                break
+        for epoch in range(self.start_epoch, self.total_epochs):
+            self.cur_epoch = epoch
+            self.train_one_epoch(epoch)
+            if (epoch + 1) % ckp_interval == 0:
+                self.save_checkpoint(epoch)
+            if (epoch + 1) % eval_interval == 0 or epoch == self.total_epochs - 1:
+                self.evaluate(prefix="val")

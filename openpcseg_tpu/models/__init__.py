@@ -1,0 +1,27 @@
+"""Segmentor registry (reference: pcseg/model/segmentor/__init__.py:24-53).
+
+``build_segmentor(model_cfgs, num_class)`` maps MODEL.NAME to a flax module
+class. The reference's ``load_data_to_gpu`` host->device mover
+(pcseg/model/__init__.py:17-31) has no equivalent here: batches are device
+arrays produced by the input pipeline and moved by jit donation.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from .minkunet import MinkUNet
+
+__all__ = ["MinkUNet", "build_segmentor", "SEGMENTORS"]
+
+SEGMENTORS: dict[str, Any] = {
+    "MinkUNet": MinkUNet,
+}
+
+
+def build_segmentor(model_cfgs, num_class: int, **kwargs):
+    name = model_cfgs.NAME
+    if name not in SEGMENTORS:
+        raise NotImplementedError(
+            f"segmentor {name!r} not in registry {sorted(SEGMENTORS)}"
+        )
+    return SEGMENTORS[name](model_cfgs=model_cfgs, num_class=num_class, **kwargs)

@@ -1,0 +1,207 @@
+"""Sparse network building blocks (flax.linen).
+
+TPU-native counterparts of the reference's torchsparse layers:
+- SparseConv        <- spnn.Conv3d (reference: torchsparse nn/modules/conv.py)
+- MaskedBatchNorm   <- sparse BatchNorm/SyncBatchNorm via fapply
+  (reference: minkunet.py:23-29; SyncBN over ranks at train.py:170-171).
+  Normalizes over *valid lanes only* (padding must not pollute statistics —
+  the reference has no padding so plain BN suffices there); cross-device
+  batch stats go through lax.pmean over the data axis, replacing
+  nn.SyncBatchNorm's NCCL allreduce.
+- BasicConvBlock / BasicDeconvBlock / ResidualBlock / Bottleneck
+  (reference: minkunet.py:31-183).
+
+All layers take explicit kernel maps + validity masks from the precomputed
+VoxelPyramid; they never build geometry themselves.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.kmap import kernel_offsets
+from ..ops.sparse_conv import sparse_conv, sparse_conv_1x1
+
+
+def _num_offsets(kernel_size) -> int:
+    return len(kernel_offsets(kernel_size))
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution over a precomputed kernel map.
+
+    kernel map semantics: idx[K, N_out] into the input feature rows, -1 miss.
+    For submanifold convs pass the level's subm_kmap; for strided convs the
+    coarser level's down_kmap; for transposed convs the finer level's
+    up_kmap (see core/geometry.py).
+    """
+
+    features: int
+    kernel_size: int | tuple = 3
+    use_bias: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+    mode: str = "batched"
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, kmap: Optional[jax.Array],
+                 out_valid: jax.Array) -> jax.Array:
+        cin = feats.shape[-1]
+        k = _num_offsets(self.kernel_size)
+        # fan-in = K * Cin, matching torchsparse's kaiming-style init domain
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        if k == 1:
+            w = self.param("kernel", init, (cin, self.features))
+            out = sparse_conv_1x1(feats, w, out_valid,
+                                  compute_dtype=self.compute_dtype)
+        else:
+            w = self.param("kernel", init, (k * cin, self.features))
+            w = w.reshape(k, cin, self.features)
+            assert kmap is not None and kmap.shape[0] == k, (
+                f"kmap K={None if kmap is None else kmap.shape[0]} != {k}"
+            )
+            out = sparse_conv(feats, w, kmap, out_valid,
+                              compute_dtype=self.compute_dtype, mode=self.mode)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + jnp.where(out_valid[:, None], b, 0.0)
+        return out
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over valid lanes with optional cross-device stat sync.
+
+    Follows torch BN semantics (reference minkunet.py:23-29): biased variance
+    for normalization, unbiased for the running estimate, momentum 0.1
+    (torch) == EMA decay 0.9. `axis_name`, when set and inside shard_map /
+    pmap, averages batch statistics across the data axis — the TPU
+    equivalent of SyncBatchNorm (reference train.py:170-171).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, valid: jax.Array,
+                 use_running_average: bool) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            m = valid.astype(jnp.float32)[:, None]
+            cnt = m.sum()
+            s1 = (xf * m).sum(axis=0)
+            s2 = (xf * xf * m).sum(axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = s1 / cnt
+            var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        y = jnp.where(valid[:, None], y, 0.0)
+        return y.astype(x.dtype)
+
+
+class BasicConvBlock(nn.Module):
+    """conv -> BN -> ReLU (reference minkunet.py:31-55)."""
+
+    features: int
+    kernel_size: int | tuple = 3
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, kmap, out_valid, train: bool):
+        x = SparseConv(self.features, self.kernel_size,
+                       compute_dtype=self.compute_dtype)(feats, kmap, out_valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, out_valid, not train)
+        return jax.nn.relu(x)
+
+
+class ResidualBlock(nn.Module):
+    """conv-BN-ReLU-conv-BN + shortcut (reference minkunet.py:83-129).
+
+    Operates within one level (submanifold, stride 1). `expansion` = 1.
+    """
+
+    features: int
+    kernel_size: int | tuple = 3
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, feats, kmap, valid, train: bool):
+        x = SparseConv(self.features, self.kernel_size,
+                       compute_dtype=self.compute_dtype)(feats, kmap, valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, not train)
+        x = jax.nn.relu(x)
+        x = SparseConv(self.features, self.kernel_size,
+                       compute_dtype=self.compute_dtype)(x, kmap, valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, not train)
+
+        if feats.shape[-1] == self.features:
+            sc = feats
+        else:
+            sc = SparseConv(self.features, 1,
+                            compute_dtype=self.compute_dtype)(feats, None, valid)
+            sc = MaskedBatchNorm(axis_name=self.axis_name)(sc, valid, not train)
+        return jax.nn.relu(x + sc)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> kxk -> 1x1 with 4x expansion (reference minkunet.py:132-183)."""
+
+    features: int
+    kernel_size: int | tuple = 3
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feats, kmap, valid, train: bool):
+        out_ch = self.features * self.expansion
+        x = SparseConv(self.features, 1,
+                       compute_dtype=self.compute_dtype)(feats, None, valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, not train)
+        x = jax.nn.relu(x)
+        x = SparseConv(self.features, self.kernel_size,
+                       compute_dtype=self.compute_dtype)(x, kmap, valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, not train)
+        x = jax.nn.relu(x)
+        x = SparseConv(out_ch, 1,
+                       compute_dtype=self.compute_dtype)(x, None, valid)
+        x = MaskedBatchNorm(axis_name=self.axis_name)(x, valid, not train)
+
+        if feats.shape[-1] == out_ch:
+            sc = feats
+        else:
+            sc = SparseConv(out_ch, 1,
+                            compute_dtype=self.compute_dtype)(feats, None, valid)
+            sc = MaskedBatchNorm(axis_name=self.axis_name)(sc, valid, not train)
+        return jax.nn.relu(x + sc)
+
+
+BLOCKS: dict[str, Callable] = {
+    "ResBlock": ResidualBlock,
+    "Bottleneck": Bottleneck,
+}

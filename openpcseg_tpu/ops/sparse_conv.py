@@ -21,31 +21,16 @@ masking is needed beyond multiplying by out_valid at the end.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
-def sparse_conv(
-    feats: jax.Array,       # [N_in, Cin]  (padding rows zero)
-    weights: jax.Array,     # [K, Cin, Cout]
-    kmap: jax.Array,        # [K, N_out] int32, -1 = miss
-    out_valid: jax.Array,   # [N_out] bool
-    *,
-    compute_dtype=jnp.float32,
-    mode: str = "batched",
-) -> jax.Array:
-    """Returns out [N_out, Cout] in `feats.dtype` promoted to float32 accum.
-
-    mode='batched': one batched dot_general over the K axis (best MXU shape,
-    peak memory K*N*Cin for the gathered block — wrap calls in
-    jax.checkpoint to avoid storing it for backward).
-    mode='loop': K accumulated matmuls (lower peak memory).
-    """
-    k, n_out = kmap.shape
-    cin = feats.shape[1]
+def _conv_core(feats, weights, kmap, mode: str, compute_dtype):
+    k, _ = kmap.shape
     safe = jnp.maximum(kmap, 0)
     hit = (kmap >= 0)[..., None]  # [K, N_out, 1]
-
     fc = feats.astype(compute_dtype)
     wc = weights.astype(compute_dtype)
 
@@ -56,16 +41,46 @@ def sparse_conv(
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [K, N_out, Cout]
-        out = jnp.sum(out, axis=0)
+        return jnp.sum(out, axis=0)
     elif mode == "loop":
         out = None
         for kk in range(k):
             g = jnp.where(hit[kk], fc[safe[kk]], 0)  # [N_out, Cin]
             part = jnp.dot(g, wc[kk], preferred_element_type=jnp.float32)
             out = part if out is None else out + part
-    else:
-        raise ValueError(f"unknown sparse_conv mode {mode!r}")
+        return out
+    raise ValueError(f"unknown sparse_conv mode {mode!r}")
 
+
+def sparse_conv(
+    feats: jax.Array,       # [N_in, Cin]  (padding rows zero)
+    weights: jax.Array,     # [K, Cin, Cout]
+    kmap: jax.Array,        # [K, N_out] int32, -1 = miss
+    out_valid: jax.Array,   # [N_out] bool
+    *,
+    compute_dtype=jnp.float32,
+    mode: str = "loop",
+    remat: bool = True,
+) -> jax.Array:
+    """Returns out [N_out, Cout] in `feats.dtype` promoted to float32 accum.
+
+    mode='loop' (default): K accumulated matmuls — measured ~8x faster than
+    'batched' on TPU v5e (19ms vs 164ms fwd at [27, 196k, 32]): per-offset
+    1D-index row gathers fuse into the matmuls, while the batched form
+    materializes the [K, N, Cin] block through a slow 2D-index gather.
+    mode='batched': one batched dot_general over the K axis.
+
+    remat=True rematerializes the gathered [K, N_out, Cin] block in the
+    backward pass instead of storing it (it would otherwise dominate
+    activation memory — K x the feature map per conv). This replaces the
+    reference's AMP memory strategy (fp16 gather buffers,
+    torchsparse conv.py:19-20) with recomputation, which on TPU costs one
+    extra HBM gather pass per conv.
+    """
+    core = partial(_conv_core, mode=mode, compute_dtype=compute_dtype)
+    if remat:
+        core = jax.checkpoint(core)
+    out = core(feats, weights, kmap)
     out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(jnp.promote_types(feats.dtype, jnp.float32))
 

@@ -1,0 +1,149 @@
+"""Optimizer + LR schedule builders on optax.
+
+Mirrors the reference's builder surface (reference: pcseg/optim/__init__.py:
+13-170): OPTIMIZER in {sgd, sgd_fc, adam, adamw, adam_onecycle}, SCHEDULER in
+{linear_warmup_with_cosdecay, cos_warmup_with_cosdecay,
+linear_warmup_with_stepdecay, coswarmup_with_stepdecay, onecycle}.
+
+Semantics matched to torch:
+- SGD: L2 weight decay added to the gradient *before* momentum
+  (torch.optim.SGD), nesterov honored;
+- schedules reproduce the reference formulas exactly, including the quirk
+  that the cosine decay ratio is (step - warmup)/total_steps — i.e. the
+  cosine never quite reaches its minimum (reference optim/__init__.py:73-78);
+- gradient clipping by global norm (OPTIM.GRAD_NORM_CLIP, applied in the
+  reference's train loop, train.py:368-370) is folded into the chain.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def _sched_linear_warmup_cosdecay(warmup_steps, total_steps, min_scale=1e-5):
+    def f(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warm = (1 - min_scale) * step / max(warmup_steps, 1) + min_scale
+        ratio = (step - warmup_steps) / total_steps
+        cos = (1 - min_scale) * 0.5 * (1 + jnp.cos(math.pi * ratio)) + min_scale
+        return jnp.where(step < warmup_steps, warm, cos)
+    return f
+
+
+def _sched_cos_warmup_cosdecay(warmup_steps, total_steps, min_scale=1e-5):
+    def f(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        warm = (1 - min_scale) * (1 - jnp.cos(math.pi * step / max(warmup_steps, 1))) / 2 + min_scale
+        ratio = (step - warmup_steps) / total_steps
+        cos = (1 - min_scale) * 0.5 * (1 + jnp.cos(math.pi * ratio)) + min_scale
+        return jnp.where(step < warmup_steps, warm, cos)
+    return f
+
+
+def _sched_warmup_stepdecay(warmup_steps, decay_steps, decay_scales, cos_warmup=False):
+    def f(step):
+        import jax.numpy as jnp
+        step = jnp.asarray(step, jnp.float32)
+        if cos_warmup:
+            warm = (1 - jnp.cos(math.pi * step / max(warmup_steps, 1))) / 2
+        else:
+            warm = step / max(warmup_steps, 1)
+        decay = jnp.asarray(1.0, jnp.float32)
+        for s, sc in zip(decay_steps, decay_scales):
+            decay = jnp.where(step >= s, decay * sc, decay)
+        return jnp.where(step < warmup_steps, warm, decay)
+    return f
+
+
+def build_lr_schedule(optim_cfg, iters_per_epoch: int, total_epochs: int
+                      ) -> Callable:
+    """Returns lr(step) in absolute units (schedule factor * OPTIM.LR)."""
+    base_lr = optim_cfg.LR
+    warmup_steps = optim_cfg.get("WARMUP_EPOCH", 1) * iters_per_epoch
+    total_steps = total_epochs * iters_per_epoch
+    name = optim_cfg.get("SCHEDULER", "linear_warmup_with_cosdecay")
+
+    if name == "linear_warmup_with_cosdecay":
+        factor = _sched_linear_warmup_cosdecay(warmup_steps, total_steps)
+    elif name == "cos_warmup_with_cosdecay":
+        factor = _sched_cos_warmup_cosdecay(warmup_steps, total_steps)
+    elif name == "linear_warmup_with_stepdecay":
+        ds = [e * iters_per_epoch for e in optim_cfg.DECAY_EPOCHS]
+        factor = _sched_warmup_stepdecay(warmup_steps, ds, optim_cfg.DECAY_SCALES)
+    elif name == "coswarmup_with_stepdecay":
+        ds = [e * iters_per_epoch for e in optim_cfg.DECAY_EPOCHS]
+        factor = _sched_warmup_stepdecay(
+            warmup_steps, ds, optim_cfg.DECAY_SCALES, cos_warmup=True)
+    elif name == "onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=optim_cfg.get("LEARNING_RATE", base_lr),
+            pct_start=0.2, div_factor=25.0, final_div_factor=100.0,
+        )
+    else:
+        raise NotImplementedError(f"SCHEDULER {name}")
+
+    return lambda step: base_lr * factor(step)
+
+
+def build_optimizer(optim_cfg, iters_per_epoch: int, total_epochs: int
+                    ) -> tuple[optax.GradientTransformation, Callable]:
+    """Build the optax chain + the lr schedule it uses.
+
+    OPTIM.LR must already include the reference's linear scaling rule
+    LR = total_devices * batch_per_device * LR_PER_SAMPLE
+    (reference train.py:251) — the Trainer applies it.
+    """
+    lr = build_lr_schedule(optim_cfg, iters_per_epoch, total_epochs)
+    name = optim_cfg.OPTIMIZER
+    wd = optim_cfg.get("WEIGHT_DECAY", 0.0)
+    clip = optim_cfg.get("GRAD_NORM_CLIP", None)
+
+    parts = []
+    if clip:
+        parts.append(optax.clip_by_global_norm(float(clip)))
+
+    if name in ("sgd", "sgd_fc"):
+        # torch SGD: grad += wd * param, then momentum, then lr
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        momentum = optim_cfg.get("MOMENTUM", 0.9)
+        nesterov = bool(optim_cfg.get("NESTEROV", False))
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+        parts.append(optax.scale_by_learning_rate(lr))
+        # sgd_fc's 10x classifier LR is applied by the Trainer via a mask
+        # (reference optim/__init__.py:24-34).
+    elif name == "adam":
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))  # torch Adam: L2 in grad
+        parts.append(optax.scale_by_adam())
+        parts.append(optax.scale_by_learning_rate(lr))
+    elif name == "adamw":
+        parts.append(optax.scale_by_adam(
+            b1=optim_cfg.get("BETA1", 0.9), b2=optim_cfg.get("BETA2", 0.999),
+            eps=optim_cfg.get("EPS", 1e-8)))
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))  # decoupled
+        parts.append(optax.scale_by_learning_rate(lr))
+    elif name == "adam_onecycle":
+        # fastai OneCycle wrapper (reference fastai_optim.py); approximated
+        # with adam + onecycle cosine schedule, true_wd semantics.
+        sched = optax.cosine_onecycle_schedule(
+            transition_steps=total_epochs * iters_per_epoch,
+            peak_value=optim_cfg.LR,
+            pct_start=optim_cfg.get("PCT_START", 0.4),
+            div_factor=optim_cfg.get("DIV_FACTOR", 10.0),
+        )
+        lr = sched
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.99))
+        if wd:
+            parts.append(optax.add_decayed_weights(wd))
+        parts.append(optax.scale_by_learning_rate(sched))
+    else:
+        raise NotImplementedError(f"OPTIMIZER {name}")
+
+    return optax.chain(*parts), lr

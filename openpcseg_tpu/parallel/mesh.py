@@ -1,0 +1,69 @@
+"""Data-parallel scale-out over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's DDP/NCCL distributed layer
+(reference: train.py:215-219 DDP wrap; tools/utils/common/common_utils.py:
+131-175 process-group init; commu_utils.py all_gather/all_reduce): a 1-D
+'data' mesh axis with shard_map — gradients and BN statistics pmean'd over
+ICI/DCN by XLA collectives, eval confusion matrices psum'd on device
+(replacing the reference's filesystem-pickle merge, common_utils.py:200-221).
+
+Works identically on real multi-chip meshes and on the virtual 8-device CPU
+mesh used by the test suite (XLA_FLAGS=--xla_force_host_platform_device_count).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+DATA_AXIS = "data"
+
+
+def make_data_mesh(num_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
+def _batch_specs(batch_template: dict) -> dict:
+    return {k: P(DATA_AXIS) for k in batch_template}
+
+
+def shard_train_step(task, mesh: Mesh, batch_template: dict) -> Callable:
+    """Wrap task.train_step in shard_map over the data axis.
+
+    Batches must be [global_batch, ...] with global_batch divisible by the
+    mesh size; state and rng are replicated. The returned function is jitted
+    with donated state.
+    """
+    bspecs = _batch_specs(batch_template)
+
+    def step(state, batch, rng):
+        return task.train_step(state, batch, rng)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), bspecs, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_eval_step(task, mesh: Mesh, batch_template: dict) -> Callable:
+    bspecs = _batch_specs(batch_template)
+
+    def step(state, batch):
+        return task.eval_step(state, batch)
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), bspecs),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,121 @@
+"""Data-parallel training over a virtual 8-device mesh.
+
+Exercises the TPU replacement for the reference's DDP layer
+(reference: train.py:215-219 + commu_utils.py): shard_map over a 'data'
+mesh axis, grads/BN stats pmean'd, eval hist psum'd. Checks the DP-invariant
+property: a sharded step over N devices with global batch B equals (in
+expectation-free exact arithmetic for grads) the single-device step over the
+same batch B — here we verify losses are finite, grads sync (params stay
+identical across devices by construction) and the psum'd hist covers all
+points.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpcseg_tpu.config import CfgDict
+from openpcseg_tpu.data import synthetic_batch
+from openpcseg_tpu.engine import SegTask
+from openpcseg_tpu.parallel import make_data_mesh, shard_train_step, shard_eval_step
+
+N_PTS = 1500
+NUM_CLASS = 20
+
+
+def tiny_cfgs():
+    return CfgDict({
+        "DATA": {"DATASET": "semantickitti", "VOXEL_SIZE": 0.25},
+        "MODEL": {
+            "NAME": "MinkUNet", "IGNORE_LABEL": 0, "IN_FEATURE_DIM": 4,
+            "BLOCK": "ResBlock", "NUM_LAYER": [1, 1, 1, 1, 1, 1, 1, 1],
+            "PLANES": [8, 8, 8, 8, 8, 8, 8, 8, 8], "cr": 1.0,
+            "DROPOUT_P": 0.0, "LABEL_SMOOTHING": 0.0,
+        },
+        "OPTIM": {
+            "BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 2, "OPTIMIZER": "sgd",
+            "LR_PER_SAMPLE": 0.01, "WEIGHT_DECAY": 0.0, "MOMENTUM": 0.9,
+            "NESTEROV": True, "GRAD_NORM_CLIP": 10,
+            "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
+        },
+        "TPU": {"VOXEL_CAP_PER_SCAN": 2048,
+                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+    })
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_data_mesh(8)
+
+
+def global_batch(seed, n_dev):
+    b = synthetic_batch(seed, n_dev, n_points=N_PTS, num_class=NUM_CLASS)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_dp_train_and_eval(mesh):
+    n_dev = mesh.devices.size
+    task = SegTask(tiny_cfgs(), NUM_CLASS, batch_per_device=1,
+                   num_devices=n_dev, axis_name="data",
+                   iters_per_epoch=10, total_epochs=2)
+    batch = global_batch(0, n_dev)
+    rng = jax.random.PRNGKey(0)
+
+    # init on one device-worth of data, then replicate
+    local = {k: v[:1] for k, v in batch.items()}
+    state = task.init_state(rng, local)
+
+    tstep = shard_train_step(task, mesh, batch)
+    estep = shard_eval_step(task, mesh, batch)
+
+    losses = []
+    for i in range(4):
+        state, m = tstep(state, global_batch(i, n_dev), rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+
+    out = estep(state, global_batch(9, n_dev))
+    hist = np.asarray(out["hist"], np.int64)
+    # psum'd hist covers every point of every device's scan
+    assert hist.sum() == n_dev * N_PTS
+
+    # replicated outputs: loss is a scalar (pmean), params finite
+    flat, _ = jax.tree_util.tree_flatten(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_dp_matches_single_device_loss(mesh):
+    """First-step loss under DP(8x1 scans) == single-device loss over the
+    same 8 scans (same params, BN stats pmean'd): the engine's padding and
+    collectives must not change the math."""
+    n_dev = mesh.devices.size
+    task_dp = SegTask(tiny_cfgs(), NUM_CLASS, batch_per_device=1,
+                      num_devices=n_dev, axis_name="data",
+                      iters_per_epoch=10, total_epochs=2)
+    task_1d = SegTask(tiny_cfgs(), NUM_CLASS, batch_per_device=n_dev,
+                      num_devices=1, axis_name=None,
+                      iters_per_epoch=10, total_epochs=2,
+                      voxel_cap_per_scan=2048)
+    batch = global_batch(3, n_dev)
+    rng = jax.random.PRNGKey(0)
+    state = task_dp.init_state(rng, {k: v[:1] for k, v in batch.items()})
+    # the DP step donates its input state; keep host copies for the
+    # single-device comparison below
+    params0 = jax.device_get(state.params)
+    stats0 = jax.device_get(state.batch_stats)
+
+    tstep = shard_train_step(task_dp, mesh, batch)
+    _, m_dp = tstep(state, batch, rng)
+
+    # single device over the full batch, same params
+    state1 = task_1d.init_state(rng, batch)
+    state1 = state1.replace(params=params0, batch_stats=stats0)
+    _, m_1d = jax.jit(task_1d.train_step)(state1, batch, rng)
+
+    # Expected deviations (same as torch DDP vs single-GPU in the
+    # reference): per-device CE means vs one global mean, per-device Lovász
+    # sorts, BN mean-of-means. Those are a few percent at init-scale loss;
+    # anything larger means padding/collectives corrupted the math.
+    assert abs(float(m_dp["loss"]) - float(m_1d["loss"])) < 0.15, (
+        float(m_dp["loss"]), float(m_1d["loss"]))
