@@ -33,6 +33,8 @@ class VoxelBatch:
 
     voxel_coords: jax.Array    # [V, 4] int32 (b,x,y,z) key-sorted; pad -1
     voxel_valid: jax.Array     # [V] bool
+    voxel_keys_hi: jax.Array   # [V] int32 sorted key table (reusable by the
+    voxel_keys_lo: jax.Array   # geometry pass -> no level-0 re-sort)
     voxel_feats: jax.Array     # [V, C] first-point features (pad rows 0)
     voxel_labels: jax.Array    # [V] int32 first-point labels (pad -1)
     inverse_map: jax.Array     # [B*Np] int32 point -> voxel row (-1 dropped)
@@ -83,6 +85,8 @@ def voxelize_points_batch(
     return VoxelBatch(
         voxel_coords=uniq.coords,
         voxel_valid=uniq.valid,
+        voxel_keys_hi=uniq.keys.hi,
+        voxel_keys_lo=uniq.keys.lo,
         voxel_feats=voxel_feats,
         voxel_labels=voxel_labels,
         inverse_map=uniq.inverse,

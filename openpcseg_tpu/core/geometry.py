@@ -15,7 +15,7 @@ from typing import Dict, Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from ..ops.coords import unique_coords, lookup_coords
+from ..ops.coords import Keys, unique_coords, lookup_coords
 from ..ops.kmap import (
     KernelSize,
     build_down_kmap,
@@ -39,12 +39,14 @@ def build_pyramid(
     point_valid: Optional[jax.Array] = None,    # [np]
     devox_levels: Sequence[int] = (),
     p2v_levels: Sequence[int] = (),
+    level0_keys: Optional[Keys] = None,
 ) -> VoxelPyramid:
     """Build an L-level pyramid (stride 2^l per level) with all kernel maps.
 
-    `coords0` must already be deduplicated (e.g. the output of
-    ops.unique_coords / data-layer quantization) and key-sorted; if unsure,
-    run build_level0 first.
+    If `level0_keys` is given, `coords0` must already be the key-sorted
+    deduplicated table with those keys (the output of ops.unique_coords /
+    core.batch.voxelize_points_batch) — skips the level-0 re-sort.
+    Otherwise coords0 is deduplicated here.
     """
     num_levels = len(caps)
     if isinstance(subm_kernel, (int, tuple)):
@@ -54,9 +56,13 @@ def build_pyramid(
     assert len(subm_kernels) == num_levels
 
     levels: list[SparseLevel] = []
-    # level 0 table (re-sort/dedup is cheap insurance and gives us the keys)
-    u0 = unique_coords(coords0, valid0, caps[0])
-    lvl = SparseLevel(coords=u0.coords, valid=u0.valid, keys=u0.keys, stride=1)
+    if level0_keys is not None:
+        lvl = SparseLevel(coords=coords0, valid=valid0, keys=level0_keys,
+                          stride=1)
+    else:
+        u0 = unique_coords(coords0, valid0, caps[0])
+        lvl = SparseLevel(coords=u0.coords, valid=u0.valid, keys=u0.keys,
+                          stride=1)
     levels.append(lvl)
 
     for l in range(1, num_levels):
@@ -93,6 +99,7 @@ def build_pyramid(
         levels[l] = lvl.replace(subm_kmap=subm, down_kmap=down, up_kmap=up)
 
     # point-side tables
+    points_are_level0 = point_coords is None
     if point_coords is None:
         # the points ARE the level-0 voxel sites (voxel-modality default,
         # reference semantickitti_voxel.py pre-dedups on the host)
@@ -112,6 +119,12 @@ def build_pyramid(
 
     devox: Dict[int, DevoxTable] = {}
     for l in devox_levels:
+        if points_are_level0 and levels[l].stride == 1:
+            # identity fast path: points == level-0 rows (see DevoxTable)
+            dummy = jnp.zeros((8, 1), jnp.int32)
+            devox[l] = DevoxTable(
+                idx=dummy, weights=dummy.astype(jnp.float32), identity=True)
+            continue
         idx, w = devoxelize_indices_weights(
             point_coords, point_batch, point_valid,
             levels[l].keys, stride=levels[l].stride,

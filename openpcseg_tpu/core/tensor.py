@@ -63,10 +63,22 @@ class PointBuffer:
 class DevoxTable:
     """Precomputed 8-corner devoxelize indices/weights at one level
     (the reference caches these in PointTensor.idx_query/weights,
-    minkunet/utils.py:69-105)."""
+    minkunet/utils.py:69-105).
+
+    identity=True marks the voxel-modality fast path at stride 1: the points
+    ARE the level-0 rows, so devoxelize is a no-op (the reference computes
+    degenerate trilinear weights there; we skip the 8 lookups + gathers).
+    """
 
     idx: jax.Array      # [8, n] int32 into the level's rows (-1 miss)
     weights: jax.Array  # [8, n] float32
+    identity: bool = struct.field(pytree_node=False, default=False)
+
+    def apply(self, voxel_feats: jax.Array) -> jax.Array:
+        if self.identity:
+            return voxel_feats
+        from ..ops.voxelize import devoxelize_trilinear
+        return devoxelize_trilinear(voxel_feats, self.idx, self.weights)
 
 
 @struct.dataclass

@@ -116,12 +116,14 @@ class SegTask:
             voxel_size=self.voxel_size, voxel_cap=self.caps[0],
         )
         spec = self.geom_spec
+        from ..ops.coords import Keys
         pyr = build_pyramid(
             vb.voxel_coords, vb.voxel_valid, self.caps,
             subm_kernel=spec["subm_kernel"],
             updown_kernel=spec["updown_kernel"],
             devox_levels=spec["devox_levels"],
             p2v_levels=spec["p2v_levels"],
+            level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
         )
         return vb, pyr
 

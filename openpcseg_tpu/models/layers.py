@@ -34,20 +34,22 @@ class SparseConv(nn.Module):
     """Sparse convolution over a precomputed kernel map.
 
     kernel map semantics: idx[K, N_out] into the input feature rows, -1 miss.
-    For submanifold convs pass the level's subm_kmap; for strided convs the
-    coarser level's down_kmap; for transposed convs the finer level's
-    up_kmap (see core/geometry.py).
+    For submanifold convs pass the level's subm_kmap (the transposed map for
+    the backward pass is derived by offset reversal); for strided convs pass
+    the coarser level's down_kmap with kmap_t = the finer level's up_kmap;
+    for transposed convs the reverse (see core/geometry.py and
+    ops/sparse_conv.py's scatter-free custom VJP).
     """
 
     features: int
     kernel_size: int | tuple = 3
     use_bias: bool = False
     compute_dtype: jnp.dtype = jnp.float32
-    mode: str = "batched"
 
     @nn.compact
     def __call__(self, feats: jax.Array, kmap: Optional[jax.Array],
-                 out_valid: jax.Array) -> jax.Array:
+                 out_valid: jax.Array,
+                 kmap_t: Optional[jax.Array] = None) -> jax.Array:
         cin = feats.shape[-1]
         k = _num_offsets(self.kernel_size)
         # fan-in = K * Cin, matching torchsparse's kaiming-style init domain
@@ -62,8 +64,12 @@ class SparseConv(nn.Module):
             assert kmap is not None and kmap.shape[0] == k, (
                 f"kmap K={None if kmap is None else kmap.shape[0]} != {k}"
             )
-            out = sparse_conv(feats, w, kmap, out_valid,
-                              compute_dtype=self.compute_dtype, mode=self.mode)
+            ks = self.kernel_size
+            all_odd = (ks % 2 == 1) if isinstance(ks, int) else all(
+                s % 2 == 1 for s in ks)
+            center = k // 2 if all_odd else None
+            out = sparse_conv(feats, w, kmap, out_valid, kmap_t=kmap_t,
+                              center=center, compute_dtype=self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + jnp.where(out_valid[:, None], b, 0.0)
@@ -130,9 +136,10 @@ class BasicConvBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, kmap, out_valid, train: bool):
+    def __call__(self, feats, kmap, out_valid, train: bool, kmap_t=None):
         x = SparseConv(self.features, self.kernel_size,
-                       compute_dtype=self.compute_dtype)(feats, kmap, out_valid)
+                       compute_dtype=self.compute_dtype)(
+            feats, kmap, out_valid, kmap_t)
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, out_valid, not train)
         return jax.nn.relu(x)
 

@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.tensor import VoxelPyramid
-from ..ops.voxelize import devoxelize_trilinear
 from .layers import BLOCKS, BasicConvBlock, MaskedBatchNorm, SparseConv
 
 
@@ -57,7 +56,7 @@ class MinkUNet(nn.Module):
         x = BasicConvBlock(
             feats.shape[-1], kernel_size=2, axis_name=self.axis_name,
             compute_dtype=self.compute_dtype,
-        )(feats, coarse.down_kmap, coarse.valid, train)
+        )(feats, coarse.down_kmap, coarse.valid, train, kmap_t=fine.up_kmap)
         for _ in range(n_blocks):
             x = block_cls(
                 planes, axis_name=self.axis_name,
@@ -71,7 +70,7 @@ class MinkUNet(nn.Module):
         minkunet.py:272-330, torchsparse.cat at :404)."""
         x = SparseConv(planes, kernel_size=2,
                        compute_dtype=self.compute_dtype)(
-            feats, fine.up_kmap, fine.valid)
+            feats, fine.up_kmap, fine.valid, kmap_t=coarse.down_kmap)
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine.valid, not train)
         x = jax.nn.relu(x)
         x = jnp.concatenate([x, skip_feats], axis=-1)
@@ -112,17 +111,17 @@ class MinkUNet(nn.Module):
         x3 = self._stage(x2, lv[2], lv[3], cs[3], num_layer[2], block_cls, train)
         x4 = self._stage(x3, lv[3], lv[4], cs[4], num_layer[3], block_cls, train)
 
-        z1 = devoxelize_trilinear(x4, pyr.devox[4].idx, pyr.devox[4].weights)
+        z1 = pyr.devox[4].apply(x4)
 
         x4 = nn.Dropout(dropout_p, deterministic=not train)(x4)
         y1 = self._up(x4, x3, lv[4], lv[3], cs[5], num_layer[4], block_cls, train)
         y2 = self._up(y1, x2, lv[3], lv[2], cs[6], num_layer[5], block_cls, train)
-        z2 = devoxelize_trilinear(y2, pyr.devox[2].idx, pyr.devox[2].weights)
+        z2 = pyr.devox[2].apply(y2)
 
         y2 = nn.Dropout(dropout_p, deterministic=not train)(y2)
         y3 = self._up(y2, x1, lv[2], lv[1], cs[7], num_layer[6], block_cls, train)
         y4 = self._up(y3, x0, lv[1], lv[0], cs[8], num_layer[7], block_cls, train)
-        z3 = devoxelize_trilinear(y4, pyr.devox[0].idx, pyr.devox[0].weights)
+        z3 = pyr.devox[0].apply(y4)
 
         feat = jnp.concatenate([z1, z2, z3], axis=-1)
         logits = nn.Dense(self.num_class, name="classifier")(

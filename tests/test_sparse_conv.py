@@ -92,17 +92,61 @@ class TestSubmConv:
             else:
                 assert np.abs(out[i]).max() == 0
 
-    def test_loop_mode_matches_batched(self, rng):
+    def test_custom_vjp_matches_autodiff(self, rng):
+        """The scatter-free custom VJP (transposed-kmap backward) must equal
+        plain JAX autodiff of the naive gather formulation — for both the
+        submanifold (flip) and strided (up/down duality) cases."""
         coords, feats = make_sparse_scene(rng)
         n = len(coords)
         res = unique_coords(jnp.asarray(coords), jnp.ones(n, bool), n)
         sf = np.zeros((n, feats.shape[1]), np.float32)
         sf[np.asarray(res.inverse)] = feats
-        W = rng.normal(size=(27, feats.shape[1], 6)).astype(np.float32)
+        sf = jnp.asarray(sf)
+
+        def naive(feats, W, kmap, valid):
+            safe = jnp.maximum(kmap, 0)
+            out = 0
+            for k in range(W.shape[0]):
+                g = jnp.where((kmap[k] >= 0)[:, None], feats[safe[k]], 0)
+                out = out + g @ W[k]
+            return jnp.where(valid[:, None], out, 0)
+
+        # submanifold: kmap_t = flip(kmap)
+        W = jnp.asarray(rng.normal(size=(27, feats.shape[1], 6)).astype(np.float32))
         kmap = build_subm_kmap(res.keys, res.coords, res.valid, 3)
-        a = sparse_conv(jnp.asarray(sf), jnp.asarray(W), kmap, res.valid, mode="batched")
-        b = sparse_conv(jnp.asarray(sf), jnp.asarray(W), kmap, res.valid, mode="loop")
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+        def loss_c(f, w):
+            return jnp.sum(sparse_conv(f, w, kmap, res.valid, center=13) ** 2)
+
+        def loss_n(f, w):
+            return jnp.sum(naive(f, w, kmap, res.valid) ** 2)
+
+        gc = jax.grad(loss_c, argnums=(0, 1))(sf, W)
+        gn = jax.grad(loss_n, argnums=(0, 1))(sf, W)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gn[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gn[1]),
+                                   rtol=1e-4, atol=1e-4)
+
+        # strided: down conv with kmap_t = up kmap
+        coarse = build_downsample(res.coords, res.valid, n)
+        dk = build_down_kmap(res.keys, True, coarse.coords, coarse.valid)
+        uk = build_up_kmap(coarse.keys, res.coords, res.valid)
+        W2 = jnp.asarray(rng.normal(size=(8, feats.shape[1], 6)).astype(np.float32))
+
+        def loss_c2(f, w):
+            return jnp.sum(
+                sparse_conv(f, w, dk, coarse.valid, kmap_t=uk) ** 2)
+
+        def loss_n2(f, w):
+            return jnp.sum(naive(f, w, dk, coarse.valid) ** 2)
+
+        gc2 = jax.grad(loss_c2, argnums=(0, 1))(sf, W2)
+        gn2 = jax.grad(loss_n2, argnums=(0, 1))(sf, W2)
+        np.testing.assert_allclose(np.asarray(gc2[0]), np.asarray(gn2[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gc2[1]), np.asarray(gn2[1]),
+                                   rtol=1e-4, atol=1e-4)
 
     def test_grad_flows(self, rng):
         coords, feats = make_sparse_scene(rng, n_active=20, span=4)
