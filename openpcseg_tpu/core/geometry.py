@@ -27,6 +27,10 @@ from ..ops.voxelize import devoxelize_indices_weights
 from .tensor import DevoxTable, PointBuffer, SparseLevel, VoxelPyramid
 
 
+def _stride3(stride) -> tuple:
+    return (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+
+
 def build_pyramid(
     coords0: jax.Array,                 # [n0, 4] int32 level-0 coords (b,x,y,z)
     valid0: jax.Array,                  # [n0] bool
@@ -34,14 +38,24 @@ def build_pyramid(
     *,
     subm_kernel: Union[KernelSize, Sequence[Optional[KernelSize]]] = 3,
     updown_kernel: int = 2,
+    down_factors: Optional[Sequence] = None,    # per-level downsample factor
+                                                # from the previous level;
+                                                # int or (fx, fy, fz). Default
+                                                # 2 everywhere (MinkUNet);
+                                                # Cylinder3D uses (2, 2, 1)
+                                                # for its deep pools.
     point_coords: Optional[jax.Array] = None,   # [np, 3] float level-0 units
     point_batch: Optional[jax.Array] = None,    # [np]
     point_valid: Optional[jax.Array] = None,    # [np]
     devox_levels: Sequence[int] = (),
     p2v_levels: Sequence[int] = (),
     level0_keys: Optional[Keys] = None,
+    point_to_voxel0: Optional[jax.Array] = None,  # precomputed point->level0
+                                                  # index (e.g. the dedup
+                                                  # inverse map) to skip the
+                                                  # level-0 point lookup
 ) -> VoxelPyramid:
-    """Build an L-level pyramid (stride 2^l per level) with all kernel maps.
+    """Build an L-level pyramid with all kernel maps.
 
     If `level0_keys` is given, `coords0` must already be the key-sorted
     deduplicated table with those keys (the output of ops.unique_coords /
@@ -55,6 +69,12 @@ def build_pyramid(
         subm_kernels = list(subm_kernel)
     assert len(subm_kernels) == num_levels
 
+    if down_factors is None:
+        down_factors = [2] * num_levels
+    factors = [
+        (f, f, f) if isinstance(f, int) else tuple(f) for f in down_factors
+    ]
+
     levels: list[SparseLevel] = []
     if level0_keys is not None:
         lvl = SparseLevel(coords=coords0, valid=valid0, keys=level0_keys,
@@ -67,11 +87,14 @@ def build_pyramid(
 
     for l in range(1, num_levels):
         prev = levels[l - 1]
-        down = build_downsample(prev.coords, prev.valid, caps[l], stride=2)
+        f = factors[l]
+        down = build_downsample(prev.coords, prev.valid, caps[l], stride=f)
+        pstride = prev.stride if isinstance(prev.stride, tuple) else (
+            (prev.stride,) * 3)
         levels.append(
             SparseLevel(
                 coords=down.coords, valid=down.valid, keys=down.keys,
-                stride=prev.stride * 2,
+                stride=tuple(int(p * ff) for p, ff in zip(pstride, f)),
             )
         )
 
@@ -85,14 +108,14 @@ def build_pyramid(
         down = (
             build_down_kmap(
                 levels[l - 1].keys, True, lvl.coords, lvl.valid,
-                kernel_size=updown_kernel, stride=2,
+                kernel_size=updown_kernel, stride=factors[l],
             )
             if l >= 1 else None
         )
         up = (
             build_up_kmap(
                 levels[l + 1].keys, lvl.coords, lvl.valid,
-                kernel_size=updown_kernel, stride=2,
+                kernel_size=updown_kernel, stride=factors[l + 1],
             )
             if l + 1 < num_levels else None
         )
@@ -109,6 +132,8 @@ def build_pyramid(
         p2v0 = jnp.where(
             point_valid, jnp.arange(point_coords.shape[0], dtype=jnp.int32), -1
         )
+    elif point_to_voxel0 is not None:
+        p2v0 = point_to_voxel0
     else:
         cell = jnp.concatenate(
             [point_batch[:, None],
@@ -119,7 +144,7 @@ def build_pyramid(
 
     devox: Dict[int, DevoxTable] = {}
     for l in devox_levels:
-        if points_are_level0 and levels[l].stride == 1:
+        if points_are_level0 and _stride3(levels[l].stride) == (1, 1, 1):
             # identity fast path: points == level-0 rows (see DevoxTable)
             dummy = jnp.zeros((8, 1), jnp.int32)
             devox[l] = DevoxTable(
@@ -127,7 +152,7 @@ def build_pyramid(
             continue
         idx, w = devoxelize_indices_weights(
             point_coords, point_batch, point_valid,
-            levels[l].keys, stride=levels[l].stride,
+            levels[l].keys, stride=_stride3(levels[l].stride),
         )
         devox[l] = DevoxTable(idx=idx, weights=w)
 
@@ -136,9 +161,10 @@ def build_pyramid(
         if l == 0:
             p2v[0] = p2v0
         else:
+            sarr = jnp.asarray(_stride3(levels[l].stride))
             cell = jnp.concatenate(
                 [point_batch[:, None],
-                 (jnp.floor(point_coords).astype(jnp.int32) // levels[l].stride)],
+                 (jnp.floor(point_coords).astype(jnp.int32) // sarr)],
                 axis=1)
             p2v[l] = lookup_coords(levels[l].keys, cell, point_valid)
 

@@ -30,7 +30,8 @@ class SparseLevel:
     coords: jax.Array           # [cap, 4] int32 (b, x, y, z); padding -1
     valid: jax.Array            # [cap] bool
     keys: Keys                  # sorted 2-int32 key table (lookup-ready)
-    stride: int = struct.field(pytree_node=False)
+    # tensor stride relative to level 0: int (isotropic) or (sx, sy, sz)
+    stride: int | tuple = struct.field(pytree_node=False)
     # kernel maps (None if the model doesn't need them at this level):
     subm_kmap: Optional[jax.Array] = None   # [K, cap] into this level
     down_kmap: Optional[jax.Array] = None   # [K, cap] into the previous

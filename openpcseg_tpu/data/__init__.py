@@ -15,6 +15,16 @@ from . import semantickitti_meta  # noqa: F401
 _VIEWS = {
     ("voxel", "semantickitti"): SemkittiVoxelDataset,
     ("voxel", "scribblekitti"): SemkittiVoxelDataset,
+    # fusion modality: SPVCNN consumes only the voxel part of the reference's
+    # fusion view (semantickitti_fusion.py); the range-image extras are wired
+    # with RPVNet. Until then the voxel view serves fusion configs.
+    ("fusion", "semantickitti"): SemkittiVoxelDataset,
+    ("fusion", "scribblekitti"): SemkittiVoxelDataset,
+    # cylinder modality: the host side only loads/augments/pads points; the
+    # cylindrical partition runs on device (core/batch.py
+    # cylinder_points_batch), so the generic padded view serves it.
+    ("cylinder", "semantickitti"): SemkittiVoxelDataset,
+    ("cylinder", "scribblekitti"): SemkittiVoxelDataset,
 }
 
 

@@ -18,9 +18,10 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from ..core.batch import VoxelBatch, voxelize_points_batch
+from ..core.batch import VoxelBatch, cylinder_points_batch, voxelize_points_batch
 from ..core.geometry import build_pyramid
 from ..losses import Losses
+from ..losses.ce import cross_entropy
 from ..models import build_segmentor
 from ..optim import build_optimizer
 from ..utils.metrics import confusion_matrix
@@ -71,7 +72,13 @@ class SegTask:
         self.cfgs = cfgs
         self.num_class = num_class
         self.axis_name = axis_name
-        self.voxel_size = float(cfgs.DATA.VOXEL_SIZE)
+        self.modality = cfgs.get("MODALITY", "voxel")
+        if self.modality == "cylinder":
+            self.cyl_space_min = tuple(cfgs.DATA.CYLINDER_SPACE_MIN)
+            self.cyl_space_max = tuple(cfgs.DATA.CYLINDER_SPACE_MAX)
+            self.cyl_grid = tuple(cfgs.DATA.CYLINDER_GRID_SIZE)
+        else:
+            self.voxel_size = float(cfgs.DATA.VOXEL_SIZE)
 
         self.model = build_segmentor(
             cfgs.MODEL, num_class,
@@ -111,21 +118,65 @@ class SegTask:
 
     def preprocess(self, batch: Dict[str, jax.Array]) -> Tuple[VoxelBatch, Any]:
         """Device-side voxelize + geometry pass (pure, jit-able)."""
+        spec = self.geom_spec
+        from ..ops.coords import Keys
+        if self.modality == "cylinder":
+            vb = cylinder_points_batch(
+                batch["xyz"], batch["feats"][..., 3:], batch["labels"],
+                batch["valid"],
+                space_min=self.cyl_space_min, space_max=self.cyl_space_max,
+                grid_size=self.cyl_grid, voxel_cap=self.caps[0],
+                num_class=self.num_class,
+            )
+            n = vb.point_grid.shape[0]
+            pyr = build_pyramid(
+                vb.voxel_coords, vb.voxel_valid, self.caps,
+                subm_kernel=spec["subm_kernel"],
+                updown_kernel=spec["updown_kernel"],
+                down_factors=spec.get("down_factors"),
+                point_coords=vb.point_grid,
+                point_batch=jnp.maximum(vb.point_batch, 0),
+                point_valid=vb.point_valid,
+                devox_levels=spec["devox_levels"],
+                p2v_levels=spec["p2v_levels"],
+                level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
+                point_to_voxel0=vb.inverse_map,
+            )
+            return vb, pyr
         vb = voxelize_points_batch(
             batch["xyz"], batch["feats"], batch["labels"], batch["valid"],
             voxel_size=self.voxel_size, voxel_cap=self.caps[0],
         )
-        spec = self.geom_spec
-        from ..ops.coords import Keys
         pyr = build_pyramid(
             vb.voxel_coords, vb.voxel_valid, self.caps,
             subm_kernel=spec["subm_kernel"],
             updown_kernel=spec["updown_kernel"],
+            down_factors=spec.get("down_factors"),
             devox_levels=spec["devox_levels"],
             p2v_levels=spec["p2v_levels"],
             level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
         )
         return vb, pyr
+
+    def _model_inputs(self, vb: VoxelBatch) -> jax.Array:
+        if getattr(type(self.model), "INPUT_MODE", "voxel") == "point":
+            return vb.point_feats
+        return vb.voxel_feats
+
+    def _loss_from_outputs(self, out, vb: VoxelBatch):
+        """Main criterion on voxel-aligned logits + model aux losses
+        (Cylinder3D's point-refinement CE, reference cylinder_ts.py:475)."""
+        aux = {}
+        if isinstance(out, tuple):
+            out, aux = out
+        loss = self.losses(out, vb.voxel_labels, vb.voxel_valid)
+        if "point_refine_logits" in aux:
+            loss = loss + cross_entropy(
+                aux["point_refine_logits"], vb.point_labels, vb.point_valid,
+                ignore_index=self.losses.ignore_index,
+                label_smoothing=self.losses.label_smoothing,
+            )
+        return loss, out
 
     # -------------------------------------------------------------- init --
 
@@ -136,7 +187,7 @@ class SegTask:
         def _init(rng, batch):
             vb, pyr = self.preprocess(batch)
             return self.model.init(
-                {"params": rng, "dropout": rng}, vb.voxel_feats, pyr,
+                {"params": rng, "dropout": rng}, self._model_inputs(vb), pyr,
                 train=False,
             )
 
@@ -161,10 +212,10 @@ class SegTask:
         def loss_fn(params):
             out, mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                vb.voxel_feats, pyr, train=True,
+                self._model_inputs(vb), pyr, train=True,
                 mutable=["batch_stats"], rngs={"dropout": dropout_rng},
             )
-            loss = self.losses(out, vb.voxel_labels, vb.voxel_valid)
+            loss, _ = self._loss_from_outputs(out, vb)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -204,10 +255,11 @@ class SegTask:
         inverse map, histogrammed against the original point labels.
         """
         vb, pyr = self.preprocess(batch)
-        logits = self.model.apply(
+        out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            vb.voxel_feats, pyr, train=False,
+            self._model_inputs(vb), pyr, train=False,
         )
+        logits = out[0] if isinstance(out, tuple) else out
         voxel_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         inv = vb.inverse_map
         point_pred = jnp.where(inv >= 0, voxel_pred[jnp.maximum(inv, 0)], 0)

@@ -9,12 +9,16 @@ from __future__ import annotations
 
 from typing import Any
 
+from .cylinder3d import Cylinder_TS
 from .minkunet import MinkUNet
+from .spvcnn import SPVCNN
 
-__all__ = ["MinkUNet", "build_segmentor", "SEGMENTORS"]
+__all__ = ["Cylinder_TS", "MinkUNet", "SPVCNN", "build_segmentor", "SEGMENTORS"]
 
 SEGMENTORS: dict[str, Any] = {
     "MinkUNet": MinkUNet,
+    "SPVCNN": SPVCNN,
+    "Cylinder_TS": Cylinder_TS,
 }
 
 

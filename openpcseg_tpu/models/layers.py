@@ -67,7 +67,10 @@ class SparseConv(nn.Module):
             ks = self.kernel_size
             all_odd = (ks % 2 == 1) if isinstance(ks, int) else all(
                 s % 2 == 1 for s in ks)
-            center = k // 2 if all_odd else None
+            # identity center offset exists only for submanifold convs
+            # (kmap_t None => offset-symmetric same-coordinate-set conv);
+            # a strided k=3 conv has an all-odd kernel but no identity row
+            center = k // 2 if (all_odd and kmap_t is None) else None
             out = sparse_conv(feats, w, kmap, out_valid, kmap_t=kmap_t,
                               center=center, compute_dtype=self.compute_dtype)
         if self.use_bias:

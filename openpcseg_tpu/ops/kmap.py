@@ -55,15 +55,32 @@ def _query_offsets(
     coords: jax.Array,   # [N, 4] (b,x,y,z) of the *query side*
     valid: jax.Array,    # [N]
     offs: np.ndarray,    # [K, 3]
+    self_table: bool = False,
 ) -> jax.Array:
-    """idx[K, N]: for each query coord + offset, its row in `table` (-1 miss)."""
-    offs_j = jnp.asarray(offs)
-    k, n = offs_j.shape[0], coords.shape[0]
-    b = jnp.broadcast_to(coords[None, :, :1], (k, n, 1))
+    """idx[K, N]: for each query coord + offset, its row in `table` (-1 miss).
+
+    self_table=True means the queries ARE the table rows (submanifold), so
+    the zero offset resolves to the identity map without a lookup.
+    """
+    k, n = offs.shape[0], coords.shape[0]
+    zero_row = None
+    if self_table:
+        nz = np.nonzero((offs == 0).all(axis=1))[0]
+        if len(nz):
+            zero_row = int(nz[0])
+
+    sel = [i for i in range(k) if i != zero_row]
+    offs_j = jnp.asarray(offs[sel])
+    b = jnp.broadcast_to(coords[None, :, :1], (len(sel), n, 1))
     xyz = coords[None, :, 1:] + offs_j[:, None, :]
     q = jnp.concatenate([b, xyz], axis=-1)
-    v = jnp.broadcast_to(valid[None, :], (k, n))
-    return lookup_coords(table, q, v)
+    v = jnp.broadcast_to(valid[None, :], (len(sel), n))
+    idx = lookup_coords(table, q, v)
+    if zero_row is None:
+        return idx
+    ident = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1)
+    return jnp.concatenate(
+        [idx[:zero_row], ident[None], idx[zero_row:]], axis=0)
 
 
 def build_subm_kmap(
@@ -76,23 +93,36 @@ def build_subm_kmap(
 
     idx[K, N] into the same level's rows. The center offset always maps to
     the row itself (the reference special-cases this to skip gather/scatter,
-    conv.py:53-80 — here XLA sees an identity gather it can simplify).
+    conv.py:53-80 — here the zero offset is emitted as the identity map
+    without a lookup).
     """
-    return _query_offsets(level_keys, coords, valid, kernel_offsets(kernel_size))
+    return _query_offsets(level_keys, coords, valid,
+                          kernel_offsets(kernel_size), self_table=True)
+
+
+Stride = Union[int, Sequence[int]]
+
+
+def _stride_arr(stride: Stride) -> np.ndarray:
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    return np.asarray(stride, np.int32)
 
 
 def build_downsample(
     coords: jax.Array,      # [N_in, 4] coords of the finer level (own units)
     valid: jax.Array,
     out_cap: int,
-    stride: int = 2,
+    stride: Stride = 2,
 ) -> UniqueResult:
-    """Coords of the next level: unique(floor(c / stride)).
+    """Coords of the next level: unique(floor(c / stride)), per-axis stride
+    (Cylinder3D pools with (2, 2, 1), reference cylinder_ts.py:207-215).
 
     Replaces spdownsample + unique (reference: torchsparse
     nn/functional/downsample.py:11-52).
     """
-    down = jnp.concatenate([coords[:, :1], coords[:, 1:] // stride], axis=1)
+    s = jnp.asarray(_stride_arr(stride))
+    down = jnp.concatenate([coords[:, :1], coords[:, 1:] // s], axis=1)
     return unique_coords(down, valid, out_cap)
 
 
@@ -102,18 +132,19 @@ def build_down_kmap(
     coarse_coords: jax.Array,   # [N_out, 4] in coarse units
     coarse_valid: jax.Array,
     kernel_size: KernelSize = 2,
-    stride: int = 2,
+    stride: Stride = 2,
 ) -> jax.Array:
     """Kernel map for a strided (downsampling) conv, fine -> coarse.
 
     For coarse output voxel o, the matched fine input for offset f is the
-    fine voxel at ``stride * o + f`` (offsets for even kernels are
-    {0..k-1}). Returns idx[K, N_out] into the fine level's rows.
+    fine voxel at ``stride * o + f``. Returns idx[K, N_out] into the fine
+    level's rows.
     """
     del fine_is_table
     offs = kernel_offsets(kernel_size)
+    s = jnp.asarray(_stride_arr(stride))
     up_coords = jnp.concatenate(
-        [coarse_coords[:, :1], coarse_coords[:, 1:] * stride], axis=1
+        [coarse_coords[:, :1], coarse_coords[:, 1:] * s], axis=1
     )
     return _query_offsets(fine_keys, up_coords, coarse_valid, offs)
 
@@ -123,7 +154,7 @@ def build_up_kmap(
     fine_coords: jax.Array,   # [N_out, 4] fine-level coords (own units)
     fine_valid: jax.Array,
     kernel_size: KernelSize = 2,
-    stride: int = 2,
+    stride: Stride = 2,
 ) -> jax.Array:
     """Kernel map for a transposed (upsampling) conv, coarse -> fine.
 
@@ -131,18 +162,38 @@ def build_up_kmap(
     o for offset f iff ``c == stride * o + f``, i.e. ``(c - f)`` divisible by
     stride and ``(c - f) / stride`` present in the coarse table. For
     kernel 2 / stride 2 exactly one offset fires per output (the parity of
-    c), so 7 of 8 rows are misses — XLA's masked gather makes these free-ish;
-    a Pallas kernel can exploit it further.
+    c); misses are masked gathers.
 
     Returns idx[K, N_fine] into the coarse level's rows.
     """
     offs = kernel_offsets(kernel_size)
     offs_j = jnp.asarray(offs)
+    s = jnp.asarray(_stride_arr(stride))
     k, n = offs_j.shape[0], fine_coords.shape[0]
     diff = fine_coords[None, :, 1:] - offs_j[:, None, :]   # [K, N, 3]
-    divisible = jnp.all(diff % stride == 0, axis=-1)       # [K, N]
-    q_xyz = diff // stride
+    divisible = jnp.all(diff % s == 0, axis=-1)            # [K, N]
+    q_xyz = diff // s
     b = jnp.broadcast_to(fine_coords[None, :, :1], (k, n, 1))
     q = jnp.concatenate([b, q_xyz], axis=-1)
     v = jnp.broadcast_to(fine_valid[None, :], (k, n)) & divisible
     return lookup_coords(coarse_keys, q, v)
+
+
+def subm_subset_indices(full_kernel: KernelSize, sub_kernel: KernelSize
+                        ) -> np.ndarray:
+    """Row indices of a sub-kernel's offsets inside a full kernel's kmap.
+
+    Lets anisotropic submanifold kernels — Cylinder3D's (1,3,3)/(3,1,3)/
+    (3,1,1)/... (reference cylinder_ts.py:45-86) — share ONE full-kernel
+    kmap per level: slice ``kmap_full[subm_subset_indices(3, (1,3,3))]``
+    instead of building separate lookup tables per shape.
+    """
+    full = kernel_offsets(full_kernel)
+    sub = kernel_offsets(sub_kernel)
+    full_map = {tuple(o): i for i, o in enumerate(full)}
+    idx = []
+    for o in sub:
+        key = tuple(o)
+        assert key in full_map, f"offset {key} not in full kernel"
+        idx.append(full_map[key])
+    return np.asarray(idx, np.int32)

@@ -47,7 +47,7 @@ def devoxelize_indices_weights(
     point_batch: jax.Array,    # [N] int32 batch index
     point_valid: jax.Array,    # [N] bool
     voxel_keys: Keys,          # sorted key table of the voxel level
-    stride: int,
+    stride,                    # int or (sx, sy, sz)
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-point 8-corner voxel indices + trilinear weights at a stride.
 
@@ -58,7 +58,9 @@ def devoxelize_indices_weights(
 
     Returns (idx [8, N] int32 with -1 miss, weights [8, N] float32).
     """
-    p = point_coords / float(stride)
+    if isinstance(stride, int):
+        stride = (stride,) * 3
+    p = point_coords / jnp.asarray(stride, point_coords.dtype)
     base = jnp.floor(p)
     frac = p - base  # in [0, 1)
     base = base.astype(jnp.int32)
