@@ -10,6 +10,7 @@ from __future__ import annotations
 from .synthetic import pad_scan, synthetic_batch, synthetic_scan  # noqa: F401
 from .semantickitti import SemantickittiDataset  # noqa: F401
 from .voxel_view import BatchLoader, SemkittiVoxelDataset, collate  # noqa: F401
+from .range_view import SemkittiRangeViewDataset, synthetic_range_batch  # noqa: F401
 from . import semantickitti_meta  # noqa: F401
 
 _VIEWS = {
@@ -25,6 +26,8 @@ _VIEWS = {
     # cylinder_points_batch), so the generic padded view serves it.
     ("cylinder", "semantickitti"): SemkittiVoxelDataset,
     ("cylinder", "scribblekitti"): SemkittiVoxelDataset,
+    ("range", "semantickitti"): SemkittiRangeViewDataset,
+    ("range", "scribblekitti"): SemkittiRangeViewDataset,
 }
 
 

@@ -111,12 +111,16 @@ class SemkittiVoxelDataset:
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
-    """Stack padded scans into a batch dict (+ scan names)."""
-    batch = {
-        k: np.stack([s[k] for s in samples])
-        for k in ("xyz", "feats", "labels", "valid")
-    }
-    batch["name"] = [s["name"] for s in samples]
+    """Stack fixed-shape sample dicts into a batch dict (+ scan names).
+
+    Works for any view: stacks every ndarray key (voxel views: xyz/feats/
+    labels/valid; range views: scan/label/mask)."""
+    batch: Dict[str, np.ndarray] = {}
+    for k, v in samples[0].items():
+        if isinstance(v, np.ndarray):
+            batch[k] = np.stack([s[k] for s in samples])
+    if "name" in samples[0]:
+        batch["name"] = [s["name"] for s in samples]
     return batch
 
 

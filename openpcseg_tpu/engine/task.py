@@ -73,26 +73,39 @@ class SegTask:
         self.num_class = num_class
         self.axis_name = axis_name
         self.modality = cfgs.get("MODALITY", "voxel")
+        self.is_range = self.modality == "range"
         if self.modality == "cylinder":
             self.cyl_space_min = tuple(cfgs.DATA.CYLINDER_SPACE_MIN)
             self.cyl_space_max = tuple(cfgs.DATA.CYLINDER_SPACE_MAX)
             self.cyl_grid = tuple(cfgs.DATA.CYLINDER_GRID_SIZE)
-        else:
+        elif not self.is_range:
             self.voxel_size = float(cfgs.DATA.VOXEL_SIZE)
 
         self.model = build_segmentor(
             cfgs.MODEL, num_class,
             axis_name=axis_name, compute_dtype=compute_dtype,
         )
-        spec = type(self.model).geometry_spec(cfgs.MODEL)
-        self.geom_spec = spec
-
-        tpu_cfg = cfgs.get("TPU", {})
-        cap0 = voxel_cap_per_scan or tpu_cfg.get("VOXEL_CAP_PER_SCAN", 98304)
-        ratios = tpu_cfg.get("VOXEL_CAP_RATIOS", None)
-        self.caps = default_caps(
-            cap0 * batch_per_device, spec["num_levels"], ratios
-        )
+        if not self.is_range:
+            spec = type(self.model).geometry_spec(cfgs.MODEL)
+            self.geom_spec = spec
+            tpu_cfg = cfgs.get("TPU", {})
+            cap0 = voxel_cap_per_scan or tpu_cfg.get("VOXEL_CAP_PER_SCAN",
+                                                     98304)
+            ratios = tpu_cfg.get("VOXEL_CAP_RATIOS", None)
+            self.caps = default_caps(
+                cap0 * batch_per_device, spec["num_levels"], ratios
+            )
+        else:
+            # dense range images: loss knobs live on the model config
+            # (reference cenet.py:208-221 build_loss_funs)
+            mc = cfgs.MODEL
+            self.range_loss_kwargs = dict(
+                loss_kind=mc.get("LOSS", "wce"),
+                top_k_percent=float(mc.get("TOP_K_PERCENT_PIXELS", 1.0)),
+                if_ls=bool(mc.get("IF_LS_LOSS", True)),
+                if_bd=bool(mc.get("IF_BD_LOSS", True)),
+                ignore_index=mc.get("IGNORE_LABEL", 0),
+            )
 
         # loss dispatcher (reference minkunet.py:344-362 default config)
         loss_cfg = cfgs.MODEL.get("LOSS_CONFIG", {}) or {}
@@ -185,6 +198,11 @@ class SegTask:
         # of tiny ops (deadly through a remote-device tunnel)
         @jax.jit
         def _init(rng, batch):
+            if self.is_range:
+                return self.model.init(
+                    {"params": rng, "dropout": rng}, batch["scan"],
+                    train=False,
+                )
             vb, pyr = self.preprocess(batch)
             return self.model.init(
                 {"params": rng, "dropout": rng}, self._model_inputs(vb), pyr,
@@ -206,6 +224,8 @@ class SegTask:
     def train_step(
         self, state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if self.is_range:
+            return self._range_train_step(state, batch, rng)
         vb, pyr = self.preprocess(batch)
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -245,6 +265,53 @@ class SegTask:
         }
         return new_state, metrics
 
+    def _range_train_step(self, state, batch, rng):
+        """Train step for dense range images (reference range models
+        compute their losses in-model, cenet.py:248-294 — here via
+        losses.range_losses.range_seg_loss)."""
+        from ..losses.range_losses import range_seg_loss
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (logits, aux), mutated = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["scan"], train=True,
+                mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+            )
+            loss = range_seg_loss(logits, aux, batch["label"],
+                                  **self.range_loss_kwargs)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if self.axis_name is not None:
+            grads = jax.lax.pmean(grads, self.axis_name)
+            loss = jax.lax.pmean(loss, self.axis_name)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        zero = jnp.zeros((), jnp.int32)
+        return new_state, {"loss": loss, "lr": self.lr_fn(state.step),
+                           "num_voxels": zero, "voxel_overflow": zero}
+
+    def _range_eval_step(self, state, batch):
+        """Per-pixel eval: argmax vs label image (reference
+        train.py:430-434 handles dense [bs,cls,H,W] predictions; class 0
+        is cropped out of the IoU at reporting time)."""
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["scan"], train=False,
+        )
+        logits = out[0] if isinstance(out, tuple) else out
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(-1)
+        labels = batch["label"].reshape(-1)
+        hist = confusion_matrix(
+            pred, labels, jnp.ones_like(labels, dtype=bool), self.num_class)
+        if self.axis_name is not None:
+            hist = jax.lax.psum(hist, self.axis_name)
+        return {"hist": hist}
+
     def eval_step(
         self, state: TrainState, batch: Dict[str, jax.Array]
     ) -> Dict[str, jax.Array]:
@@ -254,6 +321,8 @@ class SegTask:
         436-437): voxel argmax gathered back to every original point via the
         inverse map, histogrammed against the original point labels.
         """
+        if self.is_range:
+            return self._range_eval_step(state, batch)
         vb, pyr = self.preprocess(batch)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -11,14 +11,23 @@ from typing import Any
 
 from .cylinder3d import Cylinder_TS
 from .minkunet import MinkUNet
+from .range_cenet import CENet
+from .range_fidnet import FIDNet
+from .range_rangenet import RangeNet
+from .range_salsanext import SalsaNext
 from .spvcnn import SPVCNN
 
-__all__ = ["Cylinder_TS", "MinkUNet", "SPVCNN", "build_segmentor", "SEGMENTORS"]
+__all__ = ["CENet", "Cylinder_TS", "FIDNet", "MinkUNet", "RangeNet",
+           "SPVCNN", "SalsaNext", "build_segmentor", "SEGMENTORS"]
 
 SEGMENTORS: dict[str, Any] = {
     "MinkUNet": MinkUNet,
     "SPVCNN": SPVCNN,
     "Cylinder_TS": Cylinder_TS,
+    "CENet": CENet,
+    "SalsaNext": SalsaNext,
+    "FIDNet": FIDNet,
+    "RangeNet": RangeNet,
 }
 
 
