@@ -42,6 +42,9 @@ class VoxelBatch:
     point_valid: jax.Array     # [B*Np] bool
     point_batch: jax.Array     # [B*Np] int32 scan index of each point
     num_voxels: jax.Array      # [] int32 true voxel count (may exceed V)
+    voxel_rep: jax.Array | None = None     # [V] int32 first-point row per
+                                           # voxel (for gathering per-point
+                                           # side data, e.g. RPVNet's pxpy)
     # point-input modalities only (Cylinder3D): per-point features + integer
     # grid coords (float) for the geometry pass; None for voxel modality
     point_feats: jax.Array | None = None   # [B*Np, C]
@@ -98,6 +101,7 @@ def voxelize_points_batch(
         point_valid=flat_valid,
         point_batch=jnp.where(flat_valid, batch_idx.reshape(-1), -1),
         num_voxels=uniq.num_unique,
+        voxel_rep=jnp.where(uniq.valid, rep_safe, -1),
     )
 
 

@@ -11,16 +11,15 @@ from .synthetic import pad_scan, synthetic_batch, synthetic_scan  # noqa: F401
 from .semantickitti import SemantickittiDataset  # noqa: F401
 from .voxel_view import BatchLoader, SemkittiVoxelDataset, collate  # noqa: F401
 from .range_view import SemkittiRangeViewDataset, synthetic_range_batch  # noqa: F401
+from .fusion_view import SemkittiFusionDataset, build_fusion_range_image  # noqa: F401
 from . import semantickitti_meta  # noqa: F401
 
 _VIEWS = {
     ("voxel", "semantickitti"): SemkittiVoxelDataset,
     ("voxel", "scribblekitti"): SemkittiVoxelDataset,
-    # fusion modality: SPVCNN consumes only the voxel part of the reference's
-    # fusion view (semantickitti_fusion.py); the range-image extras are wired
-    # with RPVNet. Until then the voxel view serves fusion configs.
-    ("fusion", "semantickitti"): SemkittiVoxelDataset,
-    ("fusion", "scribblekitti"): SemkittiVoxelDataset,
+    # fusion modality (SPVCNN ignores the range extras, RPVNet uses them)
+    ("fusion", "semantickitti"): SemkittiFusionDataset,
+    ("fusion", "scribblekitti"): SemkittiFusionDataset,
     # cylinder modality: the host side only loads/augments/pads points; the
     # cylindrical partition runs on device (core/batch.py
     # cylinder_points_batch), so the generic padded view serves it.

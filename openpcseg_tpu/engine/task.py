@@ -171,9 +171,21 @@ class SegTask:
         )
         return vb, pyr
 
-    def _model_inputs(self, vb: VoxelBatch) -> jax.Array:
-        if getattr(type(self.model), "INPUT_MODE", "voxel") == "point":
+    def _model_inputs(self, vb: VoxelBatch, batch=None):
+        mode = getattr(type(self.model), "INPUT_MODE", "voxel")
+        if mode == "point":
             return vb.point_feats
+        if mode == "fusion":
+            # RPVNet: per-voxel pxpy = pxpy of the representative point
+            flat_pxpy = batch["pxpy"].reshape(-1, 2)
+            rep = jnp.maximum(vb.voxel_rep, 0)
+            vox_pxpy = jnp.where(
+                vb.voxel_valid[:, None], flat_pxpy[rep], 0.0)
+            return {
+                "voxel_feats": vb.voxel_feats,
+                "range_image": batch["range_image"],
+                "pxpy": vox_pxpy,
+            }
         return vb.voxel_feats
 
     def _loss_from_outputs(self, out, vb: VoxelBatch):
@@ -205,8 +217,8 @@ class SegTask:
                 )
             vb, pyr = self.preprocess(batch)
             return self.model.init(
-                {"params": rng, "dropout": rng}, self._model_inputs(vb), pyr,
-                train=False,
+                {"params": rng, "dropout": rng},
+                self._model_inputs(vb, batch), pyr, train=False,
             )
 
         variables = _init(rng, batch)
@@ -232,7 +244,7 @@ class SegTask:
         def loss_fn(params):
             out, mutated = self.model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                self._model_inputs(vb), pyr, train=True,
+                self._model_inputs(vb, batch), pyr, train=True,
                 mutable=["batch_stats"], rngs={"dropout": dropout_rng},
             )
             loss, _ = self._loss_from_outputs(out, vb)
@@ -326,7 +338,7 @@ class SegTask:
         vb, pyr = self.preprocess(batch)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            self._model_inputs(vb), pyr, train=False,
+            self._model_inputs(vb, batch), pyr, train=False,
         )
         logits = out[0] if isinstance(out, tuple) else out
         voxel_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -15,10 +15,12 @@ from .range_cenet import CENet
 from .range_fidnet import FIDNet
 from .range_rangenet import RangeNet
 from .range_salsanext import SalsaNext
+from .rpvnet import RPVNet
 from .spvcnn import SPVCNN
 
-__all__ = ["CENet", "Cylinder_TS", "FIDNet", "MinkUNet", "RangeNet",
-           "SPVCNN", "SalsaNext", "build_segmentor", "SEGMENTORS"]
+__all__ = ["CENet", "Cylinder_TS", "FIDNet", "MinkUNet", "RPVNet",
+           "RangeNet", "SPVCNN", "SalsaNext", "build_segmentor",
+           "SEGMENTORS"]
 
 SEGMENTORS: dict[str, Any] = {
     "MinkUNet": MinkUNet,
@@ -28,6 +30,7 @@ SEGMENTORS: dict[str, Any] = {
     "SalsaNext": SalsaNext,
     "FIDNet": FIDNet,
     "RangeNet": RangeNet,
+    "RPVNet": RPVNet,
 }
 
 
