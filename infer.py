@@ -1,0 +1,88 @@
+"""Inference / evaluation CLI — mirrors the reference entry point
+(reference: infer.py:55-110 parse_config, :412-455 evaluate-with-dump):
+evaluation is the default action, and --save_pred dumps one zero-padded
+.npy prediction file per scan into DATA.OUTPUT_DIR (the Waymo
+sequence-inference path consumed by the visualizers, infer.py:424-438).
+
+    python infer.py --cfg_file tools/cfgs/voxel/semantic_kitti/minkunet_mk34_cr10.yaml \
+        --ckp logs/.../ckp/12
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from openpcseg_tpu.config import CfgDict, cfg_from_list, cfg_from_yaml_file
+from openpcseg_tpu.engine.trainer import Trainer
+
+
+def parse_config():
+    parser = argparse.ArgumentParser(description="OpenPCSeg-TPU inference")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=0)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckp", type=str, default=None)
+    parser.add_argument("--log_dir", type=str, default="logs")
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--num_devices", type=int, default=0)
+    parser.add_argument("--save_pred", action="store_true",
+                        help="dump per-scan .npy predictions to "
+                             "DATA.OUTPUT_DIR")
+    parser.add_argument("--log_interval", type=int, default=50)
+    parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
+                        default=None)
+    args = parser.parse_args()
+
+    cfgs = CfgDict()
+    cfg_from_yaml_file(args.cfg_file, cfgs)
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfgs)
+    return args, cfgs
+
+
+def dump_predictions(trainer: Trainer, out_dir: Path) -> int:
+    """Per-scan argmax dump (reference infer.py:424-438)."""
+    import jax
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pstep = jax.jit(trainer.task.predict_step)
+    count = 0
+    for batch in trainer.val_loader:
+        db = trainer._device_batch(batch)
+        preds = np.asarray(jax.device_get(pstep(trainer.state, db)))
+        valid = np.asarray(batch.get("valid")) if "valid" in batch else None
+        for i, name in enumerate(batch.get("name", range(len(preds)))):
+            p = preds[i]
+            if valid is not None:
+                p = p[valid[i]]
+            np.save(out_dir / f"{count:06d}.npy", p.astype(np.int32))
+            count += 1
+    return count
+
+
+def main():
+    args, cfgs = parse_config()
+    from openpcseg_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    np.random.seed(args.seed)
+
+    args.eval = True
+    trainer = Trainer(args, cfgs)
+    for batch in trainer.val_loader:
+        db = trainer._device_batch(batch)
+        trainer._compile_steps(db)
+        trainer.init_or_resume(db)
+        break
+    trainer.evaluate(prefix="val")
+
+    if args.save_pred:
+        out_dir = Path(cfgs.DATA.get("OUTPUT_DIR", trainer.exp_dir / "preds"))
+        n = dump_predictions(trainer, out_dir)
+        trainer.logger.info(f"saved {n} prediction files to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

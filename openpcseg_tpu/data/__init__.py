@@ -12,6 +12,12 @@ from .semantickitti import SemantickittiDataset  # noqa: F401
 from .voxel_view import BatchLoader, SemkittiVoxelDataset, collate  # noqa: F401
 from .range_view import SemkittiRangeViewDataset, synthetic_range_batch  # noqa: F401
 from .fusion_view import SemkittiFusionDataset, build_fusion_range_image  # noqa: F401
+from .waymo import (  # noqa: F401
+    WAYMO_CLASS_NAMES,
+    WaymoDataset,
+    WaymoInferDataset,
+    WaymoVoxelDataset,
+)
 from . import semantickitti_meta  # noqa: F401
 
 _VIEWS = {
@@ -27,6 +33,9 @@ _VIEWS = {
     ("cylinder", "scribblekitti"): SemkittiVoxelDataset,
     ("range", "semantickitti"): SemkittiRangeViewDataset,
     ("range", "scribblekitti"): SemkittiRangeViewDataset,
+    ("voxel", "waymo"): WaymoVoxelDataset,
+    ("cylinder", "waymo"): WaymoVoxelDataset,
+    ("fusion", "waymo"): WaymoVoxelDataset,
 }
 
 

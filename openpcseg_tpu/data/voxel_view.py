@@ -25,7 +25,15 @@ from .semantickitti_meta import CLASS_NAMES
 
 
 class SemkittiVoxelDataset:
-    """Yields padded per-scan dicts: xyz [cap,3], feats [cap,4], labels, valid."""
+    """Yields padded per-scan dicts: xyz [cap,3], feats [cap,F], labels, valid."""
+
+    FEAT_DIM = 4  # x, y, z, intensity (Waymo subclass uses 5)
+
+    def _make_source(self, data_cfgs, training, root_path, seed):
+        return SemantickittiDataset(
+            data_cfgs, training=training, root_path=root_path,
+            if_scribble=(data_cfgs.DATASET == "scribblekitti"), seed=seed,
+        )
 
     def __init__(
         self,
@@ -39,10 +47,7 @@ class SemkittiVoxelDataset:
         self.training = training
         self.point_cap = point_cap
         self.class_names = CLASS_NAMES
-        self.source = SemantickittiDataset(
-            data_cfgs, training=training, root_path=root_path,
-            if_scribble=(data_cfgs.DATASET == "scribblekitti"), seed=seed,
-        )
+        self.source = self._make_source(data_cfgs, training, root_path, seed)
         self.if_flip = data_cfgs.get("FLIP_AUG", True)
         self.if_scale = data_cfgs.get("SCALE_AUG", True)
         self.scale_axis = data_cfgs.get("SCALE_AUG_AXIS", "xyz")
@@ -80,7 +85,7 @@ class SemkittiVoxelDataset:
     def get_sample(self, index: int, num_vote: int = 0,
                    tta: bool = False) -> Dict[str, np.ndarray]:
         pc = self.source[index]
-        point = pc["xyzret"][:, :4].astype(np.float32)  # x,y,z,intensity
+        point = pc["xyzret"][:, :self.FEAT_DIM].astype(np.float32)
         labels = pc["labels"].reshape(-1)
 
         if self.training or tta:

@@ -307,6 +307,47 @@ class SegTask:
         return new_state, {"loss": loss, "lr": self.lr_fn(state.step),
                            "num_voxels": zero, "voxel_overflow": zero}
 
+    def predict_step(self, state: TrainState, batch: Dict[str, jax.Array]):
+        """Per-point predictions for the inference dump
+        (reference infer.py:424-438 saves per-scan argmax .npy files).
+        Returns pred [B, Np] int32 (range models: [B, H, W])."""
+        if self.is_range:
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["scan"], train=False,
+            )
+            logits = out[0] if isinstance(out, tuple) else out
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        vb, pyr = self.preprocess(batch)
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            self._model_inputs(vb, batch), pyr, train=False,
+        )
+        logits = out[0] if isinstance(out, tuple) else out
+        voxel_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        inv = vb.inverse_map
+        point_pred = jnp.where(inv >= 0, voxel_pred[jnp.maximum(inv, 0)], 0)
+        b = batch["xyz"].shape[0]
+        return point_pred.reshape(b, -1)
+
+    def predict_probs_step(self, state: TrainState,
+                           batch: Dict[str, jax.Array]):
+        """Per-point softmax probabilities for TTA voting (reference
+        return_tta path, minkunet.py:445-446: softmax outputs per vote,
+        averaged across the 10 deterministic augmentations)."""
+        vb, pyr = self.preprocess(batch)
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            self._model_inputs(vb, batch), pyr, train=False,
+        )
+        logits = out[0] if isinstance(out, tuple) else out
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        inv = vb.inverse_map
+        point_probs = jnp.where(
+            (inv >= 0)[:, None], probs[jnp.maximum(inv, 0)], 0.0)
+        b = batch["xyz"].shape[0]
+        return point_probs.reshape(b, -1, self.num_class)
+
     def _range_eval_step(self, state, batch):
         """Per-pixel eval: argmax vs label image (reference
         train.py:430-434 handles dense [bs,cls,H,W] predictions; class 0

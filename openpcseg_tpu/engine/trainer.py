@@ -241,6 +241,39 @@ class Trainer:
                            **{f"{prefix}_miou": miou})
         return miou
 
+    def evaluate_tta(self, voting: int = 10) -> float:
+        """10-vote test-time augmentation eval (reference
+        semantickitti_voxel.py:62-69 + collate_batch_tta): per scan, run the
+        deterministic aug variants, average softmax probabilities mapped to
+        the original points, argmax, accumulate the confusion matrix."""
+        import jax.numpy as jnp
+        from ..data.voxel_view import collate
+        from ..utils.metrics import confusion_matrix
+
+        pstep = jax.jit(self.task.predict_probs_step)
+        hist_fn = jax.jit(
+            lambda pred, lab, val: confusion_matrix(
+                pred, lab, val, self.num_class))
+        hist = np.zeros((self.num_class, self.num_class), np.int64)
+        for idx in range(len(self.val_set)):
+            votes = self.val_set.get_tta_sample(idx, voting=voting)
+            probs = None
+            for v in votes:
+                db = self._device_batch(collate([v]))
+                if self.state is None:
+                    self._compile_steps(db)
+                    self.init_or_resume(db)
+                p = pstep(self.state, db)
+                probs = p if probs is None else probs + p
+            pred = jnp.argmax(probs[0], axis=-1).astype(jnp.int32)
+            lab = jnp.asarray(votes[0]["labels"])
+            val = jnp.asarray(votes[0]["valid"])
+            hist += np.asarray(jax.device_get(hist_fn(pred, lab, val)),
+                               np.int64)
+        miou, _ = miou_from_hist(hist, np.arange(self.num_class - 1))
+        self.logger.info(f"TTA val mIoU: {miou:.2f}")
+        return miou
+
     def train(self) -> None:
         eval_interval = getattr(self.args, "eval_interval", 1)
         ckp_interval = getattr(self.args, "ckp_save_interval", 1)
