@@ -31,6 +31,34 @@ def _stride3(stride) -> tuple:
     return (stride,) * 3 if isinstance(stride, int) else tuple(stride)
 
 
+def _updown_from_inverse(fine: SparseLevel, coarse: SparseLevel,
+                         inverse: jax.Array, which: str) -> jax.Array:
+    """k=2 stride-2 kernel maps for free from the downsample inverse map.
+
+    For kernel 2 / stride 2, fine voxel i pairs with exactly one coarse
+    voxel (its parent, ``inverse[i]``) at exactly one offset (the parity of
+    its coordinates) — so the down map is ONE scatter and the up map is an
+    elementwise select, replacing 16 x cap tree lookups per transition.
+    Offset order matches kernel_offsets(2): index = px*4 + py*2 + pz.
+    """
+    parity = (fine.coords[:, 1:] & 1)
+    off_idx = parity[:, 0] * 4 + parity[:, 1] * 2 + parity[:, 2]  # [cap_f]
+    n_f = fine.coords.shape[0]
+    ok = fine.valid & (inverse >= 0)
+    if which == "up":
+        # up_kmap[f][i] = parent index where parity matches
+        offs = jnp.arange(8, dtype=off_idx.dtype)[:, None]
+        return jnp.where(
+            ok[None, :] & (off_idx[None, :] == offs), inverse[None, :], -1
+        ).astype(jnp.int32)
+    # down_kmap[f][o] = fine index i with parent o and parity f
+    n_c = coarse.coords.shape[0]
+    flat = jnp.where(ok, off_idx * n_c + inverse, 8 * n_c)
+    out = jnp.full((8 * n_c + 1,), -1, jnp.int32).at[flat].set(
+        jnp.arange(n_f, dtype=jnp.int32), mode="drop")
+    return out[:8 * n_c].reshape(8, n_c)
+
+
 def build_pyramid(
     coords0: jax.Array,                 # [n0, 4] int32 level-0 coords (b,x,y,z)
     valid0: jax.Array,                  # [n0] bool
@@ -63,7 +91,7 @@ def build_pyramid(
     Otherwise coords0 is deduplicated here.
     """
     num_levels = len(caps)
-    if isinstance(subm_kernel, (int, tuple)):
+    if subm_kernel is None or isinstance(subm_kernel, (int, tuple)):
         subm_kernels: list = [subm_kernel] * num_levels
     else:
         subm_kernels = list(subm_kernel)
@@ -85,10 +113,12 @@ def build_pyramid(
                           stride=1)
     levels.append(lvl)
 
+    inverses = [None]  # fine-row -> coarse-row map per level transition
     for l in range(1, num_levels):
         prev = levels[l - 1]
         f = factors[l]
         down = build_downsample(prev.coords, prev.valid, caps[l], stride=f)
+        inverses.append(down.inverse)
         pstride = prev.stride if isinstance(prev.stride, tuple) else (
             (prev.stride,) * 3)
         levels.append(
@@ -106,14 +136,19 @@ def build_pyramid(
             if subm_kernels[l] is not None else None
         )
         down = (
-            build_down_kmap(
+            _updown_from_inverse(levels[l - 1], lvl, inverses[l], "down")
+            if l >= 1 and updown_kernel == 2 and factors[l] == (2, 2, 2)
+            else build_down_kmap(
                 levels[l - 1].keys, True, lvl.coords, lvl.valid,
                 kernel_size=updown_kernel, stride=factors[l],
             )
             if l >= 1 else None
         )
         up = (
-            build_up_kmap(
+            _updown_from_inverse(lvl, levels[l + 1], inverses[l + 1], "up")
+            if l + 1 < num_levels and updown_kernel == 2
+            and factors[l + 1] == (2, 2, 2)
+            else build_up_kmap(
                 levels[l + 1].keys, lvl.coords, lvl.valid,
                 kernel_size=updown_kernel, stride=factors[l + 1],
             )

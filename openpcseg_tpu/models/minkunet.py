@@ -96,7 +96,7 @@ class MinkUNet(nn.Module):
         lv = pyr.levels
         assert len(lv) >= self.NUM_LEVELS
 
-        x = voxel_feats[:, :in_dim]
+        x = voxel_feats[:, :in_dim].astype(self.compute_dtype)
 
         # stem: two subm k3 convs at level 0 (reference minkunet.py:207-222)
         for _ in range(2):

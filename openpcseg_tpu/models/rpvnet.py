@@ -171,7 +171,7 @@ class RPVNet(nn.Module):
         p2r = lambda pf, hh, ww: point_to_range(
             pf, pxpy, p_batch, p_valid, bsz, hh, ww)
 
-        raw = voxel_feats[:, :in_dim]
+        raw = voxel_feats[:, :in_dim].astype(self.compute_dtype)
 
         # stems
         x = raw

@@ -104,7 +104,7 @@ class SPVCNN(nn.Module):
         lv = pyr.levels
         pts_valid = pyr.points.valid
 
-        x = voxel_feats[:, :in_dim]
+        x = voxel_feats[:, :in_dim].astype(self.compute_dtype)
         for _ in range(2):  # stem (reference spvcnn.py:212-227)
             x = BasicConvBlock(
                 cs[0], kernel_size=3, axis_name=self.axis_name,

@@ -166,7 +166,81 @@ def _count_le(h: jax.Array, l: jax.Array, qh: jax.Array, ql: jax.Array) -> jax.A
     return jnp.sum(le.astype(jnp.int32), axis=-1)
 
 
-def lookup_keys(table: Keys, q: Keys) -> jax.Array:
+def _tree_search(table: Keys, qh: jax.Array, ql: jax.Array, node: int):
+    """Position of the last table key <= q (clamped to [0, cap-1]) plus the
+    key stored there. Shared core of lookup_keys / lookup_keys_z3."""
+    _n = node
+    cap = table.hi.shape[0]
+
+    if cap <= _n * _n:
+        cnt = _count_le(table.hi[None, :], table.lo[None, :], qh, ql)
+        pos = jnp.maximum(cnt - 1, 0)
+        return pos, table.hi[pos], table.lo[pos]
+
+    def make_level(hi, lo):
+        n = hi.shape[0]
+        nn = -(-n // _n)
+        hi_p = _pad_to(hi, nn * _n, INT32_MAX).reshape(nn, _n)
+        lo_p = _pad_to(lo, nn * _n, INT32_MAX).reshape(nn, _n)
+        return jnp.concatenate([hi_p, lo_p], axis=1), hi_p[:, 0], lo_p[:, 0]
+
+    levels = []
+    hi, lo = table.hi, table.lo
+    while hi.shape[0] > _n * _n:
+        rows, hi, lo = make_level(hi, lo)
+        levels.append(rows)
+    top_hi, top_lo = hi, lo
+
+    cnt = _count_le(top_hi[None, :], top_lo[None, :], qh, ql)
+    nd = jnp.maximum(cnt - 1, 0)
+    th = tl = None
+    for li, rows in enumerate(reversed(levels)):
+        r = rows[nd]
+        c = _count_le(r[:, :_n], r[:, _n:], qh, ql)
+        child = jnp.maximum(c - 1, 0)
+        if li == len(levels) - 1:
+            th = jnp.take_along_axis(r[:, :_n], child[:, None], axis=1)[:, 0]
+            tl = jnp.take_along_axis(r[:, _n:], child[:, None], axis=1)[:, 0]
+        nd = nd * _n + child
+    pos = jnp.minimum(nd, cap - 1)
+    return pos, th, tl
+
+
+def lookup_keys_z3(table: Keys, q: Keys, node: int = _NODE):
+    """One tree search -> indices of keys (q-1, q, q+1): [3, Nq] int32.
+
+    Exploits the packed key layout: the z-1 / z+1 neighbors of a voxel have
+    keys exactly lo-1 / lo+1, which (table being sorted and keys distinct)
+    can only sit at positions pos-1 / pos / pos+1 around the search result —
+    two extra scalar gathers replace two full tree searches. Field wrap at
+    z=0 / z=2^15-1 produces keys that cannot exist in a real table
+    (z ~ 32767 exceeds any scan extent), so wraps are natural misses.
+    """
+    cap = table.hi.shape[0]
+    qshape = q.hi.shape
+    qh = q.hi.reshape(-1)
+    ql = q.lo.reshape(-1)
+    qvalid = qh != INT32_MAX
+
+    pos, th, tl = _tree_search(table, qh, ql, node)
+    pm = jnp.maximum(pos - 1, 0)
+    pp = jnp.minimum(pos + 1, cap - 1)
+    mh, ml = table.hi[pm], table.lo[pm]
+    ph, pl = table.hi[pp], table.lo[pp]
+
+    def find(dlo):
+        tq_h, tq_l = qh, ql + dlo
+        at_pos = (th == tq_h) & (tl == tq_l)
+        at_m = (mh == tq_h) & (ml == tq_l) & (pm < pos)
+        at_p = (ph == tq_h) & (pl == tq_l) & (pp > pos)
+        idx = jnp.where(at_pos, pos,
+                        jnp.where(at_m, pm, jnp.where(at_p, pp, -1)))
+        return jnp.where(qvalid, idx, -1).astype(jnp.int32)
+
+    return jnp.stack([find(-1), find(0), find(1)]).reshape((3,) + qshape)
+
+
+def lookup_keys(table: Keys, q: Keys, node: int = _NODE) -> jax.Array:
     """Find each query key in a *sorted* key table; -1 on miss.
 
     Wide-node (16-ary) tree search: TPU scalar gathers are ~25x slower per
@@ -183,49 +257,10 @@ def lookup_keys(table: Keys, q: Keys) -> jax.Array:
     sort); padding keys are INT32_MAX and sort last. Replaces the
     reference's GPU cuckoo-hash probe (torchsparse query_cuda.cu:9-56).
     """
-    cap = table.hi.shape[0]
     qshape = q.hi.shape
     qh = q.hi.reshape(-1)
     ql = q.lo.reshape(-1)
-
-    if cap <= _NODE * _NODE:
-        # tiny table: brute force against all keys
-        cnt = _count_le(table.hi[None, :], table.lo[None, :], qh, ql)
-        pos = jnp.maximum(cnt - 1, 0)
-        th, tl = table.hi[pos], table.lo[pos]
-        hit = (th == qh) & (tl == ql) & (qh != INT32_MAX)
-        return jnp.where(hit, pos, -1).reshape(qshape).astype(jnp.int32)
-
-    # ---- build levels (strided slices; CSE'd across calls in one jit) ----
-    def make_level(hi: jax.Array, lo: jax.Array):
-        n = hi.shape[0]
-        nn = -(-n // _NODE)
-        hi_p = _pad_to(hi, nn * _NODE, INT32_MAX).reshape(nn, _NODE)
-        lo_p = _pad_to(lo, nn * _NODE, INT32_MAX).reshape(nn, _NODE)
-        rows = jnp.concatenate([hi_p, lo_p], axis=1)  # [nn, 32]
-        return rows, hi_p[:, 0], lo_p[:, 0]  # node rows + first-key separators
-
-    levels = []  # bottom-up
-    hi, lo = table.hi, table.lo
-    while hi.shape[0] > _NODE * _NODE:
-        rows, hi, lo = make_level(hi, lo)
-        levels.append(rows)
-    top_hi, top_lo = hi, lo  # <= 256 separators
-
-    # ---- search ----
-    cnt = _count_le(top_hi[None, :], top_lo[None, :], qh, ql)
-    node = jnp.maximum(cnt - 1, 0)
-    th = tl = None
-    for li, rows in enumerate(reversed(levels)):
-        r = rows[node]  # [Nq, 32] 128-byte row gather
-        c = _count_le(r[:, :_NODE], r[:, _NODE:], qh, ql)
-        child = jnp.maximum(c - 1, 0)
-        if li == len(levels) - 1:  # bottom: read the candidate key from the row
-            th = jnp.take_along_axis(r[:, :_NODE], child[:, None], axis=1)[:, 0]
-            tl = jnp.take_along_axis(r[:, _NODE:], child[:, None], axis=1)[:, 0]
-        node = node * _NODE + child
-    pos = jnp.minimum(node, cap - 1)
-
+    pos, th, tl = _tree_search(table, qh, ql, node)
     hit = (th == qh) & (tl == ql) & (qh != INT32_MAX)
     return jnp.where(hit, pos, -1).reshape(qshape).astype(jnp.int32)
 

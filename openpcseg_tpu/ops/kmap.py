@@ -83,6 +83,22 @@ def _query_offsets(
         [idx[:zero_row], ident[None], idx[zero_row:]], axis=0)
 
 
+def _self_z_neighbors(keys: Keys, valid: jax.Array):
+    """(idx of z-1 neighbor, idx of z+1 neighbor) for every table row.
+
+    Sorted packed keys put a voxel's z+-1 neighbors in the adjacent rows
+    when present — a pure elementwise shift-compare, zero lookups.
+    """
+    n = keys.hi.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    adj_next = (keys.hi[:-1] == keys.hi[1:]) & (keys.lo[:-1] + 1 == keys.lo[1:])
+    f = jnp.zeros((1,), bool)
+    has_p = jnp.concatenate([adj_next, f]) & valid
+    has_m = jnp.concatenate([f, adj_next]) & valid
+    return (jnp.where(has_m, iota - 1, -1).astype(jnp.int32),
+            jnp.where(has_p, iota + 1, -1).astype(jnp.int32))
+
+
 def build_subm_kmap(
     level_keys: Keys,
     coords: jax.Array,
@@ -91,13 +107,50 @@ def build_subm_kmap(
 ) -> jax.Array:
     """Submanifold (stride-1) kernel map: in and out coords are the same set.
 
-    idx[K, N] into the same level's rows. The center offset always maps to
-    the row itself (the reference special-cases this to skip gather/scatter,
-    conv.py:53-80 — here the zero offset is emitted as the identity map
-    without a lookup).
+    idx[K, N] into the same level's rows. Search count is minimized by
+    exploiting the packed key layout:
+    - the center offset is the identity map (no lookup — the reference
+      special-cases it too, conv.py:53-80);
+    - the center column's z+-1 offsets come from sorted-row adjacency
+      (elementwise, no lookup);
+    - every other (dx, dy) column with z-extent 3 costs ONE tree search
+      (lookup_keys_z3) instead of three.
+    For a 3x3x3 kernel: 8 searches instead of 26.
     """
-    return _query_offsets(level_keys, coords, valid,
-                          kernel_offsets(kernel_size), self_table=True)
+    from .coords import lookup_keys_z3, make_keys
+
+    offs = kernel_offsets(kernel_size)
+    n = coords.shape[0]
+    rows: dict = {}
+
+    # group offsets by (dx, dy) column
+    cols: dict = {}
+    for k, (dx, dy, dz) in enumerate(offs):
+        cols.setdefault((int(dx), int(dy)), []).append((int(dz), k))
+
+    for (dx, dy), members in cols.items():
+        dzs = sorted(d for d, _ in members)
+        k_of = {d: k for d, k in members}
+        if (dx, dy) == (0, 0):
+            ident = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), -1)
+            if set(dzs) - {0}:
+                zm, zp = _self_z_neighbors(level_keys, valid)
+            for d in dzs:
+                rows[k_of[d]] = ident if d == 0 else (zm if d == -1 else zp)
+            continue
+        q = jnp.concatenate(
+            [coords[:, :1],
+             coords[:, 1:] + jnp.asarray([dx, dy, 0], jnp.int32)], axis=1)
+        qk = make_keys(q, valid)
+        if dzs == [0]:
+            from .coords import lookup_keys
+            rows[k_of[0]] = lookup_keys(level_keys, qk)
+        else:
+            z3 = lookup_keys_z3(level_keys, qk)  # [3, N] for dz -1/0/+1
+            for d in dzs:
+                rows[k_of[d]] = z3[d + 1]
+
+    return jnp.stack([rows[k] for k in range(len(offs))], axis=0)
 
 
 Stride = Union[int, Sequence[int]]

@@ -38,6 +38,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# scan unroll factor for the offset loop: amortizes XLA loop overhead while
+# keeping at most _UNROLL gathered blocks live (full unroll makes XLA
+# schedule all K gathers concurrently — measured 23G HBM OOM at 196k voxels)
+_UNROLL = 4
+
 
 def _gather_rows(x: jax.Array, idx_row: jax.Array, cdt) -> jax.Array:
     """Masked row gather: idx -1 -> zero row. [N] int32 -> [N, C]."""
@@ -73,7 +78,7 @@ def _conv_apply(feats, weights, kmap, center: Optional[int], cdt):
         g = _gather_rows(feats, idx_row, cdt)
         return acc + jnp.dot(g, w, preferred_element_type=jnp.float32), None
 
-    out, _ = jax.lax.scan(body, init, (kmap_s, w_s))
+    out, _ = jax.lax.scan(body, init, (kmap_s, w_s), unroll=_UNROLL)
     return out
 
 
@@ -94,19 +99,21 @@ def _core_bwd(center, compute_dtype, res, dout):
     dout_c = dout.astype(cdt)
     fc = feats.astype(cdt)
 
-    # dfeats: sparse conv of dout over the transposed kernel map, with W^T
-    # (offset k of kmap_t pairs with W[k] — see module docstring); one fused
-    # scan pass also produces dW[k] = gather_k(feats)^T @ dout with the
-    # forward gathers recomputed (no stored activations, no scatters).
+    # ONE gathered block per offset serves both gradients: with
+    # g_t[k] = gather(dout, kmap_t[k]) (masked),
+    #   dfeats += g_t[k] @ W[k]^T
+    #   dW[k]   = feats^T @ g_t[k]
+    # — the pair sums are identical whether enumerated by outputs (forward
+    # map) or by inputs (transposed map), so no forward-gather recompute and
+    # still zero scatters.
     w_t = jnp.swapaxes(weights.astype(cdt), 1, 2)  # [K, Cout, Cin]
 
     def body(acc, kw):
-        idx_t_row, idx_row, wt = kw
+        idx_t_row, wt = kw
         g_t = _gather_rows(dout, idx_t_row, cdt)
         dacc = acc + jnp.dot(g_t, wt, preferred_element_type=jnp.float32)
-        g = _gather_rows(feats, idx_row, cdt)
         dw_k = jax.lax.dot_general(
-            g, dout_c,
+            fc, g_t,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -122,12 +129,11 @@ def _core_bwd(center, compute_dtype, res, dout):
         )
         sel = [i for i in range(k) if i != center]
         kmap_t_s = kmap_t[jnp.asarray(sel)]
-        kmap_s = kmap[jnp.asarray(sel)]
         w_t_s = w_t[jnp.asarray(sel)]
     else:
-        kmap_t_s, kmap_s, w_t_s = kmap_t, kmap, w_t
+        kmap_t_s, w_t_s = kmap_t, w_t
 
-    dfeats, dws = jax.lax.scan(body, init, (kmap_t_s, kmap_s, w_t_s))
+    dfeats, dws = jax.lax.scan(body, init, (kmap_t_s, w_t_s), unroll=_UNROLL)
 
     if center is not None:
         dws = jnp.concatenate(
@@ -159,7 +165,9 @@ def sparse_conv(
         kmap_t = jnp.flip(kmap, axis=0)
     out = _sparse_conv_core(feats, weights, kmap, kmap_t, center, compute_dtype)
     out = jnp.where(out_valid[:, None], out, 0)
-    return out.astype(jnp.promote_types(feats.dtype, jnp.float32))
+    # keep activations in the input dtype: with bf16 features the next
+    # layer's gathers read half the HBM bytes (accumulation stays f32)
+    return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
 
 
 def sparse_conv_1x1(
@@ -177,4 +185,4 @@ def sparse_conv_1x1(
         preferred_element_type=jnp.float32,
     )
     out = jnp.where(out_valid[:, None], out, 0)
-    return out.astype(jnp.promote_types(feats.dtype, jnp.float32))
+    return out.astype(jnp.promote_types(feats.dtype, compute_dtype))

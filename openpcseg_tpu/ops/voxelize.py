@@ -66,13 +66,21 @@ def devoxelize_indices_weights(
     base = base.astype(jnp.int32)
 
     offs = corner_offsets()  # [8, 3]
-    # corner coords on the stride grid: [8, N, 3]
-    corner = base[None, :, :] + offs[:, None, :]
     n = point_coords.shape[0]
-    bcol = jnp.broadcast_to(point_batch[None, :, None], (8, n, 1))
-    coords4 = jnp.concatenate([bcol, corner], axis=-1)  # [8, N, 4] (b,x,y,z)
+    # one tree search per (cx, cy) column; the z=0 / z=1 corners come from
+    # the same search (packed keys are z-consecutive) -> 4 searches not 8
+    from .coords import lookup_keys_z3, make_keys
+    idx_rows = [None] * 8
+    for ci, (cx, cy) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        q = jnp.concatenate(
+            [point_batch[:, None],
+             base + jnp.asarray([cx, cy, 0], jnp.int32)], axis=1)
+        z3 = lookup_keys_z3(voxel_keys, make_keys(q, point_valid))
+        # corner order in corner_offsets(): index = cx*4 + cy*2 + cz
+        idx_rows[cx * 4 + cy * 2 + 0] = z3[1]
+        idx_rows[cx * 4 + cy * 2 + 1] = z3[2]
+    idx = jnp.stack(idx_rows, axis=0)  # [8, N]
     valid8 = jnp.broadcast_to(point_valid[None, :], (8, n))
-    idx = lookup_coords(voxel_keys, coords4, valid8)  # [8, N]
 
     # trilinear weight: prod over axes of (off ? frac : 1-frac)
     offf = offs.astype(point_coords.dtype)  # [8, 3]

@@ -50,3 +50,32 @@ def test_multidim_queries(rng):
     got = np.asarray(idx)
     assert (got >= 0).all()
     np.testing.assert_array_equal(out[got[3]], coords)
+
+
+def test_z3_matches_three_lookups(rng):
+    """lookup_keys_z3 must equal three independent lookups of (z-1, z, z+1),
+    including edge rows and misses."""
+    import jax.numpy as jnp
+    from openpcseg_tpu.ops.coords import lookup_keys_z3
+
+    n = 4000
+    coords = np.concatenate([
+        rng.integers(0, 2, (n, 1)), rng.integers(0, 40, (n, 2)),
+        rng.integers(0, 6, (n, 1))], 1).astype(np.int32)  # dense z -> many hits
+    res = unique_coords(jnp.asarray(coords), jnp.ones(n, bool), 4096)
+
+    q = np.concatenate([
+        coords[rng.integers(0, n, 800)],
+        coords[rng.integers(0, n, 200)] + np.array([0, 500, 0, 0], np.int32),
+    ])
+    qv = np.ones(len(q), bool)
+    qv[-50:] = False
+    qk = make_keys(jnp.asarray(q), jnp.asarray(qv))
+
+    got = np.asarray(lookup_keys_z3(res.keys, qk))
+    for j, dz in enumerate((-1, 0, 1)):
+        qq = q.copy()
+        qq[:, 3] += dz
+        ref = np.asarray(lookup_coords(res.keys, jnp.asarray(qq),
+                                       jnp.asarray(qv)))
+        np.testing.assert_array_equal(got[j], ref, err_msg=f"dz={dz}")

@@ -213,3 +213,24 @@ class TestDownUp:
         # exactly one parity offset fires per valid fine voxel (k=2 s=2)
         np.testing.assert_array_equal(hits[fvalid], 1)
         np.testing.assert_array_equal(hits[~fvalid], 0)
+
+
+def test_inverse_kmaps_match_lookup(rng):
+    """The scatter/parity-derived k=2 kernel maps must equal the
+    lookup-based ones exactly (geometry fast path)."""
+    import jax.numpy as jnp
+    from openpcseg_tpu.core.geometry import build_pyramid, _updown_from_inverse
+    from openpcseg_tpu.ops import build_down_kmap, build_up_kmap
+
+    coords, _ = make_sparse_scene(rng, n_active=80, span=16)
+    n = len(coords)
+    pyr = build_pyramid(jnp.asarray(coords), jnp.ones(n, bool),
+                        [n, n, n // 2], subm_kernel=None, updown_kernel=2)
+    for l in (1, 2):
+        fine, coarse = pyr.levels[l - 1], pyr.levels[l]
+        dk_ref = np.asarray(build_down_kmap(
+            fine.keys, True, coarse.coords, coarse.valid, 2, 2))
+        uk_ref = np.asarray(build_up_kmap(
+            coarse.keys, fine.coords, fine.valid, 2, 2))
+        np.testing.assert_array_equal(np.asarray(coarse.down_kmap), dk_ref)
+        np.testing.assert_array_equal(np.asarray(fine.up_kmap), uk_ref)
