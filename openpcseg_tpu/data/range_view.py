@@ -228,10 +228,32 @@ class SemkittiRangeViewDataset:
         lab = pc["labels"]
         if self.training:
             pts, rem, lab = self._augment_points(pts, rem, lab)
+
+        do_shift = self.rng.random() < self.p_shift
+        split = int(self.rng.integers(100, self.w - 100)) if do_shift else 0
+
+        # native projection when available (C++ z-buffer + tensor packing,
+        # replaces the numpy argsort path — the host hot spot); the column
+        # roll of RangeShift is a cheap post-op either way
+        from .. import native
+        pts4 = np.concatenate(
+            [pts.astype(np.float32), rem[:, None]], axis=1)
+        nat = native.range_project_native(
+            pts4, lab.astype(np.int32), self.h, self.w)
+        if nat is not None:
+            scan, label, mask = nat[0], nat[1], nat[2].astype(np.float32)
+            if do_shift:
+                scan = np.concatenate(
+                    [scan[:, split:], scan[:, :split]], axis=1)
+                label = np.concatenate(
+                    [label[:, split:], label[:, :split]], axis=1)
+                mask = np.concatenate(
+                    [mask[:, split:], mask[:, :split]], axis=1)
+            return (scan, label, mask), pc["path"]
+
         sample = range_project(pts.astype(np.float32), rem, lab,
                                self.h, self.w)
-        if self.rng.random() < self.p_shift:
-            split = int(self.rng.integers(100, self.w - 100))
+        if do_shift:
             sample = range_shift(sample, split)
         return pack_scan_tensor(sample), pc["path"]
 

@@ -87,6 +87,10 @@ class SemantickittiDataset:
     # ------------------------------------------------------------- loaders --
 
     def _load_points(self, path: str) -> np.ndarray:
+        from .. import native
+        pts = native.load_kitti_scan(path)
+        if pts is not None:
+            return pts
         return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
     def _load_labels(self, bin_path: str, n: int) -> np.ndarray:
@@ -97,6 +101,10 @@ class SemantickittiDataset:
             label_path = label_path.replace("velodyne", "scribbles")[:-3] + "label"
         else:
             label_path = bin_path.replace("velodyne", "labels")[:-3] + "label"
+        from .. import native
+        lab = native.load_kitti_labels(label_path, LEARNING_MAP_LUT)
+        if lab is not None:
+            return lab
         raw = np.fromfile(label_path, dtype=np.uint32)
         sem = (raw & 0xFFFF).astype(np.int64)
         return LEARNING_MAP_LUT[np.clip(sem, 0, len(LEARNING_MAP_LUT) - 1)]
