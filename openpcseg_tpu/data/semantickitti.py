@@ -64,6 +64,18 @@ class SemantickittiDataset:
                                if f.endswith(".bin")]
         self.annos.sort()
 
+        # semi-supervised split lists (reference pcseg/data/split/
+        # {semantickitti,scribblekitti}/ 1/10/20/50% lists): when
+        # DATA.SPLIT_FILE names a text file of scan paths (absolute or
+        # relative to DATA_PATH), training restricts to those scans.
+        split_file = data_cfgs.get("SPLIT_FILE", None)
+        if split_file and training:
+            def suffix(p: str) -> str:  # "<seq>/velodyne/<frame>.bin"
+                return "/".join(p.replace("\\", "/").split("/")[-3:])
+            with open(split_file) as f:
+                wanted = {suffix(ln.strip()) for ln in f if ln.strip()}
+            self.annos = [a for a in self.annos if suffix(a) in wanted]
+
         self.rng = np.random.default_rng(seed)
         self.annos_another = list(self.annos)
         self.rng.shuffle(self.annos_another)

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from .ce import cross_entropy, focal_loss, weighted_cross_entropy  # noqa: F401
 from .dice import dice_loss, exp_log_loss  # noqa: F401
+from .longtail import eqlv2_loss, group_softmax_loss  # noqa: F401
 from .lovasz import lovasz_softmax  # noqa: F401
 
 
@@ -44,9 +45,11 @@ class Losses:
         self.cls_num_pts = (
             jnp.asarray(cls_num_pts, jnp.float32) if cls_num_pts is not None else None
         )
-        del knn, class_names
+        self.class_names = class_names
+        del knn
         known = {"CELoss", "LovLoss", "WCELoss", "FocalLoss",
-                 "DiceLossV0", "DiceLossV1", "ELLLoss"}
+                 "DiceLossV0", "DiceLossV1", "ELLLoss", "EQLv2",
+                 "GroupSoftmax", "GroupSoftmax_fgbg_2"}
         unknown = set(self.loss_types) - known
         if unknown:
             raise NotImplementedError(f"loss types not implemented: {unknown}")
@@ -92,6 +95,16 @@ class Losses:
                     logits, labels, valid,
                     ignore_index=self.ignore_index,
                     label_smoothing=self.label_smoothing,
+                )
+            elif name == "EQLv2":
+                v = eqlv2_loss(
+                    logits, labels, valid, ignore_index=self.ignore_index
+                )
+            elif name in ("GroupSoftmax", "GroupSoftmax_fgbg_2"):
+                v = group_softmax_loss(
+                    logits, labels, valid,
+                    class_names=self.class_names,
+                    ignore_index=self.ignore_index,
                 )
             else:  # pragma: no cover - guarded in __init__
                 raise NotImplementedError(name)

@@ -1,1 +1,6 @@
-from .mesh import make_data_mesh, shard_train_step, shard_eval_step  # noqa: F401
+from .mesh import (  # noqa: F401
+    init_distributed,
+    make_data_mesh,
+    shard_eval_step,
+    shard_train_step,
+)

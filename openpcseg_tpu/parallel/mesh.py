@@ -67,3 +67,26 @@ def shard_eval_step(task, mesh: Mesh, batch_template: dict) -> Callable:
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def init_distributed() -> int:
+    """Multi-host initialization (reference: init_dist_pytorch/init_dist_slurm,
+    tools/utils/common/common_utils.py:131-175 — NCCL process groups).
+
+    On TPU pods jax.distributed auto-detects the topology; on other setups
+    the standard JAX env vars (JAX_COORDINATOR_ADDRESS, JAX_PROCESS_ID,
+    JAX_NUM_PROCESSES) or SLURM variables are honored by
+    jax.distributed.initialize. Returns the process index. Safe to call in
+    single-process runs (no-op).
+    """
+    import os
+
+    multi = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "SLURM_NTASKS", "TPU_WORKER_HOSTNAMES_OVERRIDE"))
+    if multi:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # already initialized or single-process
+    return jax.process_index()

@@ -49,6 +49,8 @@ def main():
     args, cfgs = parse_config()
     from openpcseg_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from openpcseg_tpu.parallel import init_distributed
+    init_distributed()  # multi-host pods (reference init_dist_*, no-op local)
     np.random.seed(args.seed)  # (reference --fix_random_seed, train.py:254-255)
     trainer = Trainer(args, cfgs)
     if args.eval:
