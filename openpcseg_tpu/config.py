@@ -90,6 +90,12 @@ def cfg_from_yaml_file(cfg_file: str | Path, config: CfgDict | None = None) -> C
 
 
 def _parse_value(v: str) -> Any:
+    import ast
+
+    try:  # literals incl. scientific notation ("1e-3"), lists, bools
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        pass
     try:
         return yaml.safe_load(v)
     except yaml.YAMLError:
