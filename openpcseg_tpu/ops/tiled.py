@@ -1,26 +1,33 @@
-"""Dense-tile sparse convolution (prototype — the round-2 perf centerpiece).
+"""Dense-tile sparse convolution (round-2 perf path, prototype v2).
 
 Motivation: the gather-matmul sparse conv (ops/sparse_conv.py) is bound by
 TPU row-gather throughput (~25-40 GB/s of 819 GB/s HBM). This module
-restructures the computation so convs touch NO gathers at all:
+restructures the computation so the conv itself touches NO gathers:
 
-1. Once per level per step, scatter the level's voxels into dense 4^3
-   spatial tiles with a 1-cell halo (6^3 cells): `build_tiles`. Halo cells
-   are filled by scattering each voxel into every neighboring tile whose
-   extended grid contains it (boundary voxels land in up to 8 tiles).
-2. A submanifold 3^3 conv then becomes STATIC SLICES of the [NT, 6, 6, 6, C]
-   tile tensor + one big MXU matmul per offset (`tiled_subm_conv`) — dense
-   math at ~10% occupancy costs ~6x the sparse FLOPs but runs at MXU speed
-   instead of gather speed (projected >20x for level-0 convs).
-3. Features can stay in tile form across consecutive convs of a stage;
-   `tiles_to_voxels` / `voxels_to_tiles` convert at stage boundaries.
+1. Once per level per step (`build_tiles`): assign voxels to dense 4^3
+   spatial tiles; compute each voxel's core cell and the [26, NT]
+   neighbor-tile table.
+2. `voxels_to_tiles`: ONE scatter of the voxel features into tile cores
+   [NT, 4, 4, 4, C].
+3. `fill_halo`: expand cores to [NT, 6, 6, 6, C] by copying faces/edges/
+   corners from neighbor tiles — 26 row-GATHERS at sub-block granularity
+   (1KB faces), never per-voxel scatters (v1 scattered every voxel into up
+   to 27 tiles: measured 679 ms — rejected). Custom VJP: the transpose of a
+   halo fill is the opposite-direction halo gather, so the backward pass is
+   also scatter-free.
+4. `tiled_subm_conv`: a 3^3 submanifold conv = 27 STATIC SLICES of the
+   extended grid + MXU matmuls. At measured real-LiDAR occupancy (~5% at
+   level 0, 0.05 m voxels) the dense form wastes ~20x FLOPs but the
+   MXU-vs-gather throughput gap (>300x) still wins.
+5. Features can stay in tile form across a stage (halo refresh between
+   convs); `tiles_to_voxels` converts back at stage boundaries.
 
 Equivalent in exact arithmetic to the gather formulation (tested vs
-sparse_conv). Not yet wired into the models — integration and the
-transposed/strided variants are round-2 work.
+sparse_conv). Model integration is round-2 work.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -33,17 +40,23 @@ TILE = 4            # tile edge (4^3 = 64 core cells)
 EXT = TILE + 2      # extended edge with 1-cell halo
 CELLS = EXT ** 3
 
+# the 26 neighbor directions, fixed order
+_DIRS = [(dx, dy, dz)
+         for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+         if (dx, dy, dz) != (0, 0, 0)]
+_DIR_INDEX = {d: i for i, d in enumerate(_DIRS)}
+
 
 class TileMap(NamedTuple):
     """Static-shape tile geometry for one level."""
 
-    tile_coords: jax.Array   # [NT, 4] (b, tx, ty, tz) tile table (sorted)
-    tile_valid: jax.Array    # [NT]
-    voxel_cell: jax.Array    # [N] flat cell id of each voxel in ITS OWN tile
-                             #     extended grid: tile*CELLS + local ext index
-    halo_cells: jax.Array    # [26, N] flat ext-cell ids of this voxel in each
-                             #     NEIGHBOR tile's grid (-1 when not in halo)
-    num_tiles: jax.Array     # [] int32
+    tile_coords: jax.Array     # [NT, 4] (b, tx, ty, tz) tile table (sorted)
+    tile_valid: jax.Array      # [NT]
+    voxel_cell: jax.Array      # [N] flat core-cell id of each voxel:
+                               #     tile*CELLS + ext index (-1 invalid)
+    neighbor_tiles: jax.Array  # [26, NT] index of the tile at _DIRS[d]
+                               #     (-1 when absent)
+    num_tiles: jax.Array       # [] int32
 
 
 def _ext_index(pos: jax.Array) -> jax.Array:
@@ -52,11 +65,11 @@ def _ext_index(pos: jax.Array) -> jax.Array:
 
 
 def build_tiles(coords: jax.Array, valid: jax.Array, tile_cap: int) -> TileMap:
-    """Assign voxels to 4^3 tiles; compute core + halo scatter targets.
+    """Assign voxels to 4^3 tiles + build the 26-neighbor tile table.
 
-    26 tile-table lookups per voxel — but built ONCE per level per step and
-    amortized over every conv at that level (vs 8 tree searches per subm
-    kernel map per conv in the gather formulation).
+    26 x NT tree lookups at TILE granularity (8x fewer queries than one
+    voxel-level kernel map), built once per level per step and amortized
+    over every conv at that level.
     """
     tc = jnp.concatenate([coords[:, :1], coords[:, 1:] // TILE], axis=1)
     uniq = unique_coords(tc, valid, tile_cap)
@@ -67,59 +80,118 @@ def build_tiles(coords: jax.Array, valid: jax.Array, tile_cap: int) -> TileMap:
         valid & (uniq.inverse >= 0),
         uniq.inverse * CELLS + _ext_index(core_pos), -1).astype(jnp.int32)
 
-    # halo membership: voxel c sits in neighbor tile (tc + dt)'s extended
-    # grid at position local - dt*TILE + 1 when that lies in [0, EXT)
     rows = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                if (dx, dy, dz) == (0, 0, 0):
-                    continue
-                dt = jnp.asarray([dx, dy, dz], jnp.int32)
-                pos = local - dt * TILE + 1
-                inside = jnp.all((pos >= 0) & (pos < EXT), axis=1)
-                ntc = jnp.concatenate(
-                    [tc[:, :1], tc[:, 1:] + dt], axis=1)
-                nt = lookup_coords(uniq.keys, ntc, valid & inside)
-                cell = jnp.where(
-                    (nt >= 0) & inside,
-                    nt * CELLS + _ext_index(pos), -1).astype(jnp.int32)
-                rows.append(cell)
-
+    for d in _DIRS:
+        dt = jnp.asarray(d, jnp.int32)
+        ntc = jnp.concatenate(
+            [uniq.coords[:, :1], uniq.coords[:, 1:] + dt], axis=1)
+        rows.append(lookup_coords(uniq.keys, ntc, uniq.valid))
     return TileMap(
         tile_coords=uniq.coords,
         tile_valid=uniq.valid,
         voxel_cell=voxel_cell,
-        halo_cells=jnp.stack(rows, axis=0),
+        neighbor_tiles=jnp.stack(rows, axis=0),
         num_tiles=uniq.num_unique,
     )
 
 
 def voxels_to_tiles(feats: jax.Array, tm: TileMap, tile_cap: int) -> jax.Array:
-    """Scatter [N, C] voxel features into [NT, EXT, EXT, EXT, C] dense tiles
-    (core + halos). One scatter of 27N rows, amortized over a stage."""
+    """ONE scatter of [N, C] voxel features into core grids
+    [NT, TILE, TILE, TILE, C] (no halos — see fill_halo)."""
     n, c = feats.shape
-    total = tile_cap * CELLS
-    targets = jnp.concatenate([tm.voxel_cell[None], tm.halo_cells], axis=0)
-    flat_t = jnp.where(targets >= 0, targets, total).reshape(-1)
-    src = jnp.broadcast_to(feats[None], (27, n, c)).reshape(-1, c)
+    # core cell ids in CORE-grid flat space
+    tidx = tm.voxel_cell // CELLS
+    epos = tm.voxel_cell % CELLS
+    ex = epos // (EXT * EXT)
+    ey = (epos // EXT) % EXT
+    ez = epos % EXT
+    core_flat = ((tidx * TILE + (ex - 1)) * TILE + (ey - 1)) * TILE + (ez - 1)
+    total = tile_cap * TILE ** 3
+    flat_t = jnp.where(tm.voxel_cell >= 0, core_flat, total)
     grid = jnp.zeros((total + 1, c), feats.dtype).at[flat_t].set(
-        src, mode="drop")
-    return grid[:total].reshape(tile_cap, EXT, EXT, EXT, c)
+        feats, mode="drop")
+    return grid[:total].reshape(tile_cap, TILE, TILE, TILE, c)
 
 
-def tiles_to_voxels(grid: jax.Array, tm: TileMap) -> jax.Array:
-    """Gather each voxel's own core cell back out of the tile tensor."""
-    tile_cap = grid.shape[0]
-    c = grid.shape[-1]
-    flat = grid.reshape(tile_cap * CELLS, c)
-    safe = jnp.maximum(tm.voxel_cell, 0)
+def tiles_to_voxels(core: jax.Array, tm: TileMap) -> jax.Array:
+    """Gather each voxel's own core cell back out of [NT, T, T, T, C]."""
+    tile_cap = core.shape[0]
+    c = core.shape[-1]
+    flat = core.reshape(tile_cap * TILE ** 3, c)
+    tidx = tm.voxel_cell // CELLS
+    epos = tm.voxel_cell % CELLS
+    ex = epos // (EXT * EXT) - 1
+    ey = (epos // EXT) % EXT - 1
+    ez = epos % EXT - 1
+    idx = ((tidx * TILE + ex) * TILE + ey) * TILE + ez
+    safe = jnp.maximum(idx, 0)
     out = flat[safe]
     return jnp.where((tm.voxel_cell >= 0)[:, None], out, 0)
 
 
+def _dir_slices(d):
+    """(src core slice in the neighbor, dst halo slice in the ext grid)
+    for direction d = position of the neighbor tile relative to us."""
+    def src_rng(s):   # which part of the NEIGHBOR's core we need
+        return {1: slice(0, 1), 0: slice(0, TILE), -1: slice(TILE - 1, TILE)}[s]
+
+    def dst_rng(s):   # where it lands in OUR extended grid
+        return {1: slice(EXT - 1, EXT), 0: slice(1, EXT - 1),
+                -1: slice(0, 1)}[s]
+
+    sx, sy, sz = d
+    return ((src_rng(sx), src_rng(sy), src_rng(sz)),
+            (dst_rng(sx), dst_rng(sy), dst_rng(sz)))
+
+
+def _halo_apply(core, neighbor_tiles, tile_cap):
+    """cores [NT,T,T,T,C] -> extended [NT,EXT,EXT,EXT,C] via 26 sub-block
+    gathers from neighbor tiles."""
+    c = core.shape[-1]
+    ext = jnp.zeros((tile_cap, EXT, EXT, EXT, c), core.dtype)
+    ext = ext.at[:, 1:-1, 1:-1, 1:-1, :].set(core)
+    for di, d in enumerate(_DIRS):
+        (ssx, ssy, ssz), (dsx, dsy, dsz) = _dir_slices(d)
+        src = core[:, ssx, ssy, ssz, :]           # [NT, bx, by, bz, C]
+        nb = neighbor_tiles[di]
+        safe = jnp.maximum(nb, 0)
+        got = src[safe]                            # tile-row gather
+        got = jnp.where((nb >= 0)[:, None, None, None, None], got, 0)
+        ext = ext.at[:, dsx, dsy, dsz, :].set(got)
+    return ext
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fill_halo(core, neighbor_tiles, tile_cap):
+    return _halo_apply(core, neighbor_tiles, tile_cap)
+
+
+def _fill_halo_fwd(core, neighbor_tiles, tile_cap):
+    return _halo_apply(core, neighbor_tiles, tile_cap), neighbor_tiles
+
+
+def _fill_halo_bwd(tile_cap, neighbor_tiles, g):
+    """Transpose of the halo fill, scatter-free: the gradient a tile's core
+    sub-block receives from having been copied into neighbor t's halo is a
+    GATHER over the opposite-direction neighbor table (neighbor relations
+    are involutive: tiles[d][t] = s  <=>  tiles[-d][s] = t)."""
+    dcore = g[:, 1:-1, 1:-1, 1:-1, :]
+    for di, d in enumerate(_DIRS):
+        od = _DIR_INDEX[(-d[0], -d[1], -d[2])]
+        (ssx, ssy, ssz), (dsx, dsy, dsz) = _dir_slices(d)
+        nb = neighbor_tiles[od]                    # who copied FROM us
+        safe = jnp.maximum(nb, 0)
+        gh = g[:, dsx, dsy, dsz, :][safe]          # their halo grads
+        gh = jnp.where((nb >= 0)[:, None, None, None, None], gh, 0)
+        dcore = dcore.at[:, ssx, ssy, ssz, :].add(gh)
+    return dcore, None
+
+
+fill_halo.defvjp(_fill_halo_fwd, _fill_halo_bwd)
+
+
 def tiled_subm_conv(
-    grid: jax.Array,      # [NT, EXT, EXT, EXT, Cin] (halo-filled)
+    ext_grid: jax.Array,  # [NT, EXT, EXT, EXT, Cin] (halo-filled)
     weights: jax.Array,   # [27, Cin, Cout] in kernel_offsets(3) order
     *,
     compute_dtype=jnp.float32,
@@ -128,12 +200,14 @@ def tiled_subm_conv(
 
     Returns the CORE output grid [NT, TILE, TILE, TILE, Cout]. Occupancy
     masking is inherent: empty cells hold zero features, and outputs are
-    read back only at real voxel cells (tiles_to_voxels).
+    read back only at real voxel cells (tiles_to_voxels) — note that unlike
+    the sparse formulation, non-voxel CELLS inside a tile also get computed
+    (and discarded), which is exactly the dense-FLOPs-for-no-gathers trade.
     """
-    nt = grid.shape[0]
-    cin = grid.shape[-1]
+    nt = ext_grid.shape[0]
+    cin = ext_grid.shape[-1]
     cout = weights.shape[-1]
-    g = grid.astype(compute_dtype)
+    g = ext_grid.astype(compute_dtype)
     w = weights.astype(compute_dtype)
 
     out = jnp.zeros((nt, TILE, TILE, TILE, cout), jnp.float32)
@@ -141,8 +215,6 @@ def tiled_subm_conv(
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
-                # neighbor at offset (dx,dy,dz) of core cell (i,j,l) lives at
-                # extended position (i+1+dx, j+1+dy, l+1+dz): a static slice
                 sl = g[:, 1 + dx:1 + dx + TILE,
                        1 + dy:1 + dy + TILE,
                        1 + dz:1 + dz + TILE, :]
@@ -159,17 +231,13 @@ def tiled_subm_conv_voxels(
     feats: jax.Array, weights: jax.Array, tm: TileMap, tile_cap: int,
     out_valid: jax.Array, *, compute_dtype=jnp.float32,
 ) -> jax.Array:
-    """Convenience wrapper: voxels -> tiles -> conv -> voxels (one conv).
+    """Convenience wrapper: voxels -> cores -> halo -> conv -> voxels.
 
     For real model stages, keep features in tile form across consecutive
-    convs instead (halo refresh between convs = voxels_to_tiles again).
-    """
-    grid = voxels_to_tiles(feats, tm, tile_cap)
-    core = tiled_subm_conv(grid, weights, compute_dtype=compute_dtype)
-    # pad core back to extended layout for the uniform cell indexing
-    ext = jnp.zeros(
-        (tile_cap, EXT, EXT, EXT, core.shape[-1]), core.dtype
-    ).at[:, 1:-1, 1:-1, 1:-1, :].set(core)
-    out = tiles_to_voxels(ext, tm)
+    convs instead (halo refresh between convs)."""
+    core = voxels_to_tiles(feats, tm, tile_cap)
+    ext = fill_halo(core, tm.neighbor_tiles, tile_cap)
+    out_core = tiled_subm_conv(ext, weights, compute_dtype=compute_dtype)
+    out = tiles_to_voxels(out_core.astype(feats.dtype), tm)
     out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
