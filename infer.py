@@ -31,6 +31,9 @@ def parse_config():
     parser.add_argument("--save_pred", action="store_true",
                         help="dump per-scan .npy predictions to "
                              "DATA.OUTPUT_DIR")
+    parser.add_argument("--tta", action="store_true",
+                        help="10-vote test-time-augmentation eval "
+                             "(reference TTA collate path)")
     parser.add_argument("--log_interval", type=int, default=50)
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                         default=None)
@@ -76,7 +79,10 @@ def main():
         trainer._compile_steps(db)
         trainer.init_or_resume(db)
         break
-    trainer.evaluate(prefix="val")
+    if args.tta:
+        trainer.evaluate_tta()
+    else:
+        trainer.evaluate(prefix="val")
 
     if args.save_pred:
         out_dir = Path(cfgs.DATA.get("OUTPUT_DIR", trainer.exp_dir / "preds"))

@@ -1,0 +1,51 @@
+"""Determinism: same seed + same data -> bit-identical losses
+(reference --fix_random_seed, train.py:254-255 / common_utils.py:99-104)."""
+import jax
+import numpy as np
+
+from openpcseg_tpu.config import CfgDict
+from openpcseg_tpu.data import synthetic_batch
+from openpcseg_tpu.engine import SegTask
+
+
+def _cfg():
+    return CfgDict({
+        "DATA": {"DATASET": "semantickitti", "VOXEL_SIZE": 0.25},
+        "MODEL": {
+            "NAME": "MinkUNet", "IGNORE_LABEL": 0, "IN_FEATURE_DIM": 4,
+            "BLOCK": "ResBlock", "NUM_LAYER": [1, 1, 1, 1, 1, 1, 1, 1],
+            "PLANES": [8, 8, 8, 8, 8, 8, 8, 8, 8], "cr": 1.0,
+            "DROPOUT_P": 0.1, "LABEL_SMOOTHING": 0.0,
+        },
+        "OPTIM": {
+            "BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 2, "OPTIMIZER": "sgd",
+            "LR_PER_SAMPLE": 0.01, "WEIGHT_DECAY": 0.0, "MOMENTUM": 0.9,
+            "NESTEROV": True, "GRAD_NORM_CLIP": 10,
+            "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
+        },
+        "TPU": {"VOXEL_CAP_PER_SCAN": 2048,
+                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+    })
+
+
+def test_same_seed_same_losses():
+    import jax.numpy as jnp
+    b = {k: jnp.asarray(v) for k, v in
+         synthetic_batch(0, 1, n_points=1500).items()}
+
+    def run():
+        task = SegTask(_cfg(), 20, batch_per_device=1,
+                       iters_per_epoch=10, total_epochs=2)
+        rng = jax.random.PRNGKey(7)
+        state = task.init_state(rng, b)
+        step = jax.jit(task.train_step)
+        out = []
+        for _ in range(3):
+            state, m = step(state, b, rng)
+            out.append(float(m["loss"]))
+        return out
+
+    a, c = run(), run()
+    # dropout is active (p=0.1): rngs are derived from the same key + step,
+    # so runs must be bit-identical
+    np.testing.assert_array_equal(a, c)
