@@ -113,12 +113,14 @@ def build_pyramid(
                           stride=1)
     levels.append(lvl)
 
+    level_counts = [jnp.sum(levels[0].valid.astype(jnp.int32))]
     inverses = [None]  # fine-row -> coarse-row map per level transition
     for l in range(1, num_levels):
         prev = levels[l - 1]
         f = factors[l]
         down = build_downsample(prev.coords, prev.valid, caps[l], stride=f)
         inverses.append(down.inverse)
+        level_counts.append(down.num_unique)
         pstride = prev.stride if isinstance(prev.stride, tuple) else (
             (prev.stride,) * 3)
         levels.append(
@@ -209,4 +211,5 @@ def build_pyramid(
         point_to_voxel0=p2v0,
         devox=devox,
         p2v=p2v,
+        level_counts=jnp.stack(level_counts),
     )

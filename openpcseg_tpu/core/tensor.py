@@ -95,3 +95,5 @@ class VoxelPyramid:
     point_to_voxel0: jax.Array                    # [n] int32 into level 0 (-1)
     devox: Dict[int, DevoxTable]                  # level index -> table
     p2v: Dict[int, jax.Array]                     # level index -> [n] int32
+    level_counts: jax.Array | None = None         # [L] true voxel count per
+                                                  # level (> cap = overflow)

@@ -39,12 +39,15 @@ def default_caps(voxel_cap0: int, num_levels: int,
                  ratios: Optional[Sequence[float]] = None) -> list[int]:
     """Capacity schedule per pyramid level.
 
-    Default ratios reflect measured SemanticKITTI occupancy decay under
-    2x downsampling (~0.45 per level for surface-like LiDAR data), with
-    safety margin. Buffers are rounded up to multiples of 128 lanes.
+    Default ratios follow the measured voxel-count decay of ray-cast
+    LiDAR-like scans under 2x downsampling (L1/L0 ~ 0.62, L2/L0 ~ 0.30,
+    L3/L0 ~ 0.12 at 0.05 m; surfaces halve roughly per level) plus safety
+    margin — an earlier 0.55 L1 default would silently drop ~10% of level-1
+    voxels on real scans. Buffers round up to multiples of 128 lanes;
+    overflow is reported per step via the voxel_overflow metric.
     """
     if ratios is None:
-        ratios = [1.0, 0.55, 0.3, 0.16, 0.09, 0.05, 0.03][:num_levels]
+        ratios = [1.0, 0.7, 0.38, 0.2, 0.11, 0.06, 0.03][:num_levels]
     caps = []
     for l in range(num_levels):
         r = ratios[l] if l < len(ratios) else ratios[-1] / (2 ** (l - len(ratios) + 1))
@@ -254,7 +257,11 @@ class SegTask:
             state.params
         )
         num_voxels = vb.num_voxels
-        overflow = jnp.maximum(vb.num_voxels - self.caps[0], 0)
+        # overflow across ALL pyramid levels (deep-level drops would
+        # otherwise be silent); level 0 uses the pre-dedup true count
+        caps_arr = jnp.asarray(self.caps)
+        lvl_over = jnp.sum(jnp.maximum(pyr.level_counts - caps_arr, 0))
+        overflow = jnp.maximum(vb.num_voxels - self.caps[0], 0) + lvl_over
         if self.axis_name is not None:
             grads = jax.lax.pmean(grads, self.axis_name)
             loss = jax.lax.pmean(loss, self.axis_name)

@@ -34,7 +34,7 @@ def spvcnn_cfgs():
             "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
         },
         "TPU": {"VOXEL_CAP_PER_SCAN": 3072,
-                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+                "VOXEL_CAP_RATIOS": [1.0, 1.0, 0.9, 0.7, 0.5]},
     })
 
 
@@ -59,7 +59,7 @@ def cylinder_cfgs():
             "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
         },
         "TPU": {"VOXEL_CAP_PER_SCAN": 3072,
-                "VOXEL_CAP_RATIOS": [1.0, 0.6, 0.4, 0.3, 0.25]},
+                "VOXEL_CAP_RATIOS": [1.0, 1.0, 0.9, 0.7, 0.5]},
     })
 
 
@@ -105,7 +105,7 @@ def rpvnet_cfgs():
             "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
         },
         "TPU": {"VOXEL_CAP_PER_SCAN": 3072,
-                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+                "VOXEL_CAP_RATIOS": [1.0, 1.0, 0.9, 0.7, 0.5]},
     })
 
 

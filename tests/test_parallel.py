@@ -39,7 +39,7 @@ def tiny_cfgs():
             "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
         },
         "TPU": {"VOXEL_CAP_PER_SCAN": 2048,
-                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+                "VOXEL_CAP_RATIOS": [1.0, 1.0, 0.9, 0.7, 0.5]},
     })
 
 
