@@ -31,6 +31,46 @@ def _stride3(stride) -> tuple:
     return (stride,) * 3 if isinstance(stride, int) else tuple(stride)
 
 
+def _corner_table(lvl: SparseLevel) -> jax.Array:
+    """[8, cap] neighbor indices at the {0,1}^3 corner offsets of every
+    level voxel, ordered like ops.voxelize.corner_offsets (cx*4+cy*2+cz).
+
+    Costs 3 z-run searches over cap queries: column (0,0) is the identity +
+    self z-adjacency; columns (0,1)/(1,0)/(1,1) each yield their two
+    z-corners from one lookup_keys_z3 search.
+    """
+    from ..ops.coords import lookup_keys_z3, make_keys
+    from ..ops.kmap import _self_z_neighbors
+
+    cap = lvl.coords.shape[0]
+    rows = [None] * 8
+    ident = jnp.where(lvl.valid, jnp.arange(cap, dtype=jnp.int32), -1)
+    _, zp = _self_z_neighbors(lvl.keys, lvl.valid)
+    rows[0] = ident   # (0,0,0)
+    rows[1] = zp      # (0,0,1)
+    for (cx, cy) in ((0, 1), (1, 0), (1, 1)):
+        q = jnp.concatenate(
+            [lvl.coords[:, :1],
+             lvl.coords[:, 1:] + jnp.asarray([cx, cy, 0], jnp.int32)], axis=1)
+        z3 = lookup_keys_z3(lvl.keys, make_keys(q, lvl.valid))
+        rows[cx * 4 + cy * 2 + 0] = z3[1]
+        rows[cx * 4 + cy * 2 + 1] = z3[2]
+    return jnp.stack(rows, axis=0)
+
+
+def _devox_weights(point_coords, point_valid, stride, idx) -> jax.Array:
+    """Trilinear corner weights (same math as devoxelize_indices_weights)."""
+    from ..ops.voxelize import corner_offsets
+
+    p = point_coords / jnp.asarray(stride, point_coords.dtype)
+    frac = p - jnp.floor(p)
+    offs = corner_offsets().astype(point_coords.dtype)  # [8, 3]
+    w = jnp.prod(
+        jnp.where(offs[:, None, :] > 0, frac[None, :, :],
+                  1.0 - frac[None, :, :]), axis=-1)
+    return jnp.where((idx >= 0) & point_valid[None, :], w, 0.0)
+
+
 def _updown_from_inverse(fine: SparseLevel, coarse: SparseLevel,
                          inverse: jax.Array, which: str) -> jax.Array:
     """k=2 stride-2 kernel maps for free from the downsample inverse map.
@@ -179,6 +219,18 @@ def build_pyramid(
 
     points = PointBuffer(coords=point_coords, batch=point_batch, valid=point_valid)
 
+    # ancestor chain: level-0 row -> its voxel at level l, by composing the
+    # downsample inverse maps (pure gathers, no lookups)
+    ancestors: list = [None] * num_levels
+    if points_are_level0 and devox_levels:
+        anc = jnp.where(levels[0].valid,
+                        jnp.arange(caps[0], dtype=jnp.int32), -1)
+        ancestors[0] = anc
+        for l in range(1, num_levels):
+            nxt = inverses[l][jnp.maximum(anc, 0)]
+            anc = jnp.where(anc >= 0, nxt, -1)
+            ancestors[l] = anc
+
     devox: Dict[int, DevoxTable] = {}
     for l in devox_levels:
         if points_are_level0 and _stride3(levels[l].stride) == (1, 1, 1):
@@ -186,6 +238,20 @@ def build_pyramid(
             dummy = jnp.zeros((8, 1), jnp.int32)
             devox[l] = DevoxTable(
                 idx=dummy, weights=dummy.astype(jnp.float32), identity=True)
+            continue
+        if points_are_level0 and all(
+                f == factors[1] == (2, 2, 2) for f in factors[1:l + 1]):
+            # shared-corner fast path: every point in the same level-l cell
+            # has the SAME 8 corner voxels, so search once per level-l voxel
+            # (3 z-run columns x cap_l, ~14x fewer queries at deep levels)
+            # and distribute through the ancestor chain.
+            ct = _corner_table(levels[l])          # [8, cap_l]
+            anc = ancestors[l]
+            idx = jnp.where(anc[None, :] >= 0,
+                            ct[:, jnp.maximum(anc, 0)], -1)
+            w = _devox_weights(point_coords, point_valid,
+                               _stride3(levels[l].stride), idx)
+            devox[l] = DevoxTable(idx=idx, weights=w)
             continue
         idx, w = devoxelize_indices_weights(
             point_coords, point_batch, point_valid,

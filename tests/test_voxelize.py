@@ -125,3 +125,31 @@ class TestDevoxelize:
         )
         out = np.asarray(devoxelize_trilinear(jnp.asarray(vf), idx, w))
         np.testing.assert_allclose(out, [[5.0]], rtol=1e-6)
+
+
+class TestSharedCornerDevox:
+    def test_pyramid_devox_matches_direct(self, rng):
+        """The shared-corner (ancestor-chain) devox fast path must equal the
+        direct per-point lookup tables exactly."""
+        import jax.numpy as jnp
+        from openpcseg_tpu.core.geometry import build_pyramid
+
+        n = 900
+        coords = np.concatenate([
+            rng.integers(0, 2, (n, 1)), rng.integers(0, 40, (n, 2)),
+            rng.integers(0, 12, (n, 1))], 1).astype(np.int32)
+        res = unique_coords(jnp.asarray(coords), jnp.ones(n, bool), 1024)
+        pyr = build_pyramid(res.coords, res.valid, [1024, 1024, 768],
+                            subm_kernel=None, updown_kernel=2,
+                            devox_levels=(1, 2), level0_keys=res.keys)
+        pts = pyr.points
+        for l in (1, 2):
+            idx_ref, w_ref = devoxelize_indices_weights(
+                pts.coords, pts.batch, pts.valid,
+                pyr.levels[l].keys, stride=2 ** l)
+            np.testing.assert_array_equal(
+                np.asarray(pyr.devox[l].idx), np.asarray(idx_ref),
+                err_msg=f"level {l} idx")
+            np.testing.assert_allclose(
+                np.asarray(pyr.devox[l].weights), np.asarray(w_ref),
+                rtol=1e-6, err_msg=f"level {l} weights")
