@@ -23,7 +23,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.kmap import kernel_offsets
-from ..ops.sparse_conv import sparse_conv, sparse_conv_1x1
+from ..ops.sparse_conv import sparse_conv, sparse_conv_1x1, window_subm_conv
+
+# submanifold conv implementation: "window" (z-column window gathers, the
+# fast path — see ops/sparse_conv.py) or "gather" (reference 26-row-gather
+# formulation, kept as the parity oracle). Override via env
+# OPENPCSEG_CONV_IMPL for A/B benchmarking.
+import os as _os
+
+CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "window")
 
 
 def _num_offsets(kernel_size) -> int:
@@ -71,8 +79,15 @@ class SparseConv(nn.Module):
             # (kmap_t None => offset-symmetric same-coordinate-set conv);
             # a strided k=3 conv has an all-odd kernel but no identity row
             center = k // 2 if (all_odd and kmap_t is None) else None
-            out = sparse_conv(feats, w, kmap, out_valid, kmap_t=kmap_t,
-                              center=center, compute_dtype=self.compute_dtype)
+            if (CONV_IMPL == "window" and all_odd and kmap_t is None
+                    and kmap.shape[1] == feats.shape[0]):
+                out = window_subm_conv(
+                    feats, w, kmap, out_valid, kernel_offsets(ks),
+                    compute_dtype=self.compute_dtype)
+            else:
+                out = sparse_conv(feats, w, kmap, out_valid, kmap_t=kmap_t,
+                                  center=center,
+                                  compute_dtype=self.compute_dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + jnp.where(out_valid[:, None], b, 0.0)

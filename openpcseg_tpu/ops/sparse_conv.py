@@ -37,6 +37,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # scan unroll factor for the offset loop: amortizes XLA loop overhead while
 # keeping at most _UNROLL gathered blocks live (full unroll makes XLA
@@ -167,6 +168,207 @@ def sparse_conv(
     out = jnp.where(out_valid[:, None], out, 0)
     # keep activations in the input dtype: with bf16 features the next
     # layer's gathers read half the HBM bytes (accumulation stays f32)
+    return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
+
+
+# --------------------------------------------------------------------------
+# Window (z-column) submanifold conv — the round-2 fast path.
+#
+# Key structural fact: rows are sorted by packed (b,x,y,z) keys, so two
+# voxels in the same (b,x,y) column with consecutive z ALWAYS occupy
+# adjacent rows (nothing can sort between them). Hence for any kernel
+# column (dx,dy) with z-offsets {-1,0,1}, all three matched input rows lie
+# in {base-1, base, base+1} where base = first hit of (r0, rp, rm):
+#   - r0 hit:  rm (if hit) == base-1 and rp (if hit) == base+1;
+#   - r0 miss, rp hit: a z-gap at z means z-1 (if hit) sits DIRECTLY
+#     before z+1, so rm == base-1;
+#   - only rm hit: base = rm.
+# So ONE row gather from the 3-row window table w3[i] = [f[i-1], f[i],
+# f[i+1]] replaces three narrow gathers, with exact per-slot masks derived
+# elementwise from the three kmap hit bits. Measured on v5e: TPU row
+# gathers cost ~2 cycles/row nearly independent of width, so 8 window
+# gathers beat 26 row gathers ~1.4-6x depending on channel width
+# (tools/perf/w3v4_proto.py).
+#
+# The backward pass has the same shape: dfeats is a window conv over dout
+# with offset-flipped columns (symmetric kernels: flip(kmap)), and each
+# column's dW block comes from one [Cin, N] @ [N, 3*Cout] matmul against
+# the already-gathered dout windows — zero scatters, no extra gathers.
+# --------------------------------------------------------------------------
+
+
+def _window_table(x: jax.Array) -> jax.Array:
+    """w3[i] = [x[i-1], x[i], x[i+1]] raw (no masks), [N, 3C]."""
+    zero = jnp.zeros((1, x.shape[1]), x.dtype)
+    xm = jnp.concatenate([zero, x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], zero], axis=0)
+    return jnp.concatenate([xm, x, xp], axis=1)
+
+
+def _column_plan(offsets: np.ndarray):
+    """Group kernel offsets by (dx, dy) column.
+
+    Returns (win_cols, plain_rows): win_cols = list of (is_center,
+    [k_minus, k_zero, k_plus]) for columns with full z-extent {-1,0,1};
+    plain_rows = list of offset indices handled by plain row gathers.
+    """
+    cols: dict = {}
+    for k, (dx, dy, dz) in enumerate(offsets):
+        cols.setdefault((int(dx), int(dy)), {})[int(dz)] = k
+    win, plain = [], []
+    for (dx, dy), m in cols.items():
+        if set(m.keys()) == {-1, 0, 1}:
+            win.append(((dx, dy) == (0, 0), [m[-1], m[0], m[1]]))
+        else:
+            plain.extend(m.values())
+    return win, plain
+
+
+def _window_apply(feats, weights, kmap, win, plain, cdt,
+                  out_extra=None):
+    """Shared fwd/bwd core of the window conv.
+
+    out_extra: optional callable(col_rows, G_col) invoked per window column
+    with the [N, 3C] masked block (used by the backward pass to form dW).
+    """
+    n, c = feats.shape
+    cout = weights.shape[-1]
+    fc = feats.astype(cdt)
+    wc = weights.astype(cdt)
+    w3 = _window_table(fc)
+
+    out = jnp.zeros((n, cout), jnp.float32)
+    for is_center, rows in win:
+        km, k0, kp = rows
+        rm, r0, rp = kmap[km], kmap[k0], kmap[kp]
+        hm, h0, hp = rm >= 0, r0 >= 0, rp >= 0
+        if is_center:
+            g = w3
+            # base == identity; center slot needs no mask beyond validity,
+            # which h0 encodes (identity row is -1 on invalid lanes)
+            a0 = hm
+            a1 = jnp.zeros_like(hm)
+            b1 = h0
+            c1 = jnp.zeros_like(hm)
+            c2 = hp
+        else:
+            base = jnp.where(h0, r0, jnp.where(hp, rp, rm))
+            g = w3[jnp.maximum(base, 0)]
+            a0 = hm & (h0 | hp)
+            a1 = hm & ~h0 & ~hp
+            b1 = h0
+            c1 = hp & ~h0
+            c2 = hp & h0
+        a0, a1, b1, c1, c2 = (
+            m.astype(cdt)[:, None] for m in (a0, a1, b1, c1, c2))
+        g0, g1, g2 = g[:, :c], g[:, c:2 * c], g[:, 2 * c:]
+        gg = jnp.concatenate(
+            [g0 * a0 + g1 * a1, g1 * b1, g1 * c1 + g2 * c2], axis=1)
+        wcol = jnp.concatenate([wc[km], wc[k0], wc[kp]], axis=0)  # [3C, Cout]
+        out = out + jnp.dot(gg, wcol, preferred_element_type=jnp.float32)
+        if out_extra is not None:
+            out_extra(rows, gg)
+
+    for k in plain:
+        g = _gather_rows(feats, kmap[k], cdt)
+        out = out + jnp.dot(g, wc[k], preferred_element_type=jnp.float32)
+        if out_extra is not None:
+            out_extra([k], g)
+    return out
+
+
+def _win_flip_weights(weights, flip_perm):
+    """weights reindexed to the offset-reversed order, transposed in/out."""
+    return jnp.swapaxes(weights, 1, 2)[flip_perm]
+
+
+def _window_conv_impl(feats, weights, kmap, offsets_key, compute_dtype):
+    win, plain = _COLUMN_PLANS[offsets_key]
+    return _window_apply(feats, weights, kmap, win, plain, compute_dtype)
+
+
+# column plans are static per kernel shape; cached by a hashable key so the
+# custom_vjp nondiff argument stays hashable
+_COLUMN_PLANS: dict = {}
+
+
+def _plan_key(offsets: np.ndarray):
+    key = tuple(map(tuple, offsets.tolist()))
+    if key not in _COLUMN_PLANS:
+        _COLUMN_PLANS[key] = _column_plan(offsets)
+    return key
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _window_conv_core(feats, weights, kmap, offsets_key, compute_dtype):
+    return _window_conv_impl(feats, weights, kmap, offsets_key, compute_dtype)
+
+
+def _window_fwd(feats, weights, kmap, offsets_key, compute_dtype):
+    out = _window_conv_impl(feats, weights, kmap, offsets_key, compute_dtype)
+    return out, (feats, weights, kmap)
+
+
+def _window_bwd(offsets_key, compute_dtype, res, dout):
+    feats, weights, kmap = res
+    k, cin, cout = weights.shape
+    cdt = compute_dtype
+    fc = feats.astype(cdt)
+    dout_c = dout.astype(cdt)
+
+    # For odd symmetric kernels (offsets[k] == -offsets[K-1-k]), the data
+    # gradient is a conv over the SAME kmap with reversed-transposed
+    # weights: dfeats = sum_o gather(dout, kmap[o]) @ W[flip(o)]^T
+    # (enumerate the fwd pairs by input row instead of output row). Keeping
+    # the original kmap preserves the window column plan exactly. And
+    # dW[flip(o)] = feats^T @ D_o where D_o is exactly the masked dout
+    # block this pass already builds for offset row o — one extra matmul
+    # per column, no extra gathers.
+    flip = np.arange(k)[::-1].copy()
+    w_t = _win_flip_weights(weights.astype(cdt), flip)  # w_t[j] = W[flip j]^T
+
+    dws: dict = {}
+
+    def grab(rows, gg):
+        # rows are original offset indices; gg is [N, len(rows)*Cout] of
+        # masked dout blocks D_row.
+        dw_blk = jax.lax.dot_general(
+            fc, gg, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Cin, len*Cout]
+        for i, r in enumerate(rows):
+            dws[int(flip[r])] = dw_blk[:, i * cout:(i + 1) * cout]
+
+    win, plain = _COLUMN_PLANS[offsets_key]
+    dfeats = _window_apply(dout_c, w_t, kmap, win, plain, cdt,
+                           out_extra=grab)
+
+    dw = jnp.stack([dws[i] for i in range(k)], axis=0)
+    return (dfeats.astype(feats.dtype), dw.astype(weights.dtype), None)
+
+
+_window_conv_core.defvjp(_window_fwd, _window_bwd)
+
+
+def window_subm_conv(
+    feats: jax.Array,       # [N, Cin] sorted-by-key rows, padding zero
+    weights: jax.Array,     # [K, Cin, Cout] in kernel_offsets order
+    kmap: jax.Array,        # [K, N] submanifold kernel map (-1 miss)
+    out_valid: jax.Array,   # [N]
+    offsets: np.ndarray,    # [K, 3] the kernel offsets (host constant)
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Submanifold conv via z-window column gathers (fast path).
+
+    Requires an odd offset-symmetric kernel (reversal == negation) and
+    in-rows == out-rows. Exactly equivalent to :func:`sparse_conv`
+    (oracle-tested); ~1.4-6x faster on v5e depending on channels.
+    """
+    assert kmap.shape[1] == feats.shape[0]
+    out = _window_conv_core(feats, weights, kmap, _plan_key(offsets),
+                            compute_dtype)
+    out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
 
 

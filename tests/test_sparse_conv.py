@@ -234,3 +234,74 @@ def test_inverse_kmaps_match_lookup(rng):
             coarse.keys, fine.coords, fine.valid, 2, 2))
         np.testing.assert_array_equal(np.asarray(coarse.down_kmap), dk_ref)
         np.testing.assert_array_equal(np.asarray(fine.up_kmap), uk_ref)
+
+
+class TestWindowConv:
+    """window_subm_conv must match sparse_conv exactly (same fwd, same
+    grads) — it is the default model path (models/layers.py CONV_IMPL)."""
+
+    def _setup(self, rng, ks=3, cin=5, cout=7, with_zgaps=True):
+        from openpcseg_tpu.ops.sparse_conv import window_subm_conv
+
+        coords, feats = make_sparse_scene(rng, span=8, n_batch=2, cin=cin)
+        if with_zgaps:
+            # force [hit, miss, hit] z-columns: add pairs (z, z+2)
+            extra = []
+            for b in range(2):
+                for i in range(12):
+                    x, y, z = rng.integers(0, 6, size=3)
+                    extra.append([b, x, y, z])
+                    extra.append([b, x, y, z + 2])
+            coords = np.concatenate(
+                [coords, np.asarray(extra, np.int32)], axis=0)
+            feats = np.concatenate(
+                [feats,
+                 rng.normal(size=(len(extra), cin)).astype(np.float32)])
+        cap = 256
+        u = unique_coords(jnp.asarray(coords),
+                          jnp.ones((len(coords),), bool), cap)
+        # features aligned to the unique sorted table rows
+        f = np.zeros((cap, cin), np.float32)
+        seen = set()
+        inv = np.asarray(u.inverse)
+        for i, c in enumerate(coords):
+            r = inv[i]
+            if r >= 0 and r not in seen:
+                f[r] = feats[i]
+                seen.add(r)
+        kmap = build_subm_kmap(u.keys, u.coords, u.valid, ks)
+        return u, jnp.asarray(f), kmap, kernel_offsets(ks)
+
+    @pytest.mark.parametrize("ks", [3, (1, 3, 3), (3, 1, 3), (3, 3, 1)])
+    def test_matches_gather_conv(self, rng, ks):
+        from openpcseg_tpu.ops.sparse_conv import window_subm_conv
+
+        u, f, kmap, offs = self._setup(rng, ks=ks)
+        k = len(offs)
+        W = jnp.asarray(rng.normal(size=(k, 5, 7)).astype(np.float32))
+        ref = sparse_conv(f, W, kmap, u.valid, center=k // 2)
+        win = window_subm_conv(f, W, kmap, u.valid, offs)
+        np.testing.assert_allclose(np.asarray(win), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_gather_conv(self, rng):
+        from openpcseg_tpu.ops.sparse_conv import window_subm_conv
+
+        u, f, kmap, offs = self._setup(rng)
+        W = jnp.asarray(rng.normal(size=(27, 5, 7)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(f.shape[0], 7)).astype(np.float32))
+
+        def loss_ref(f_, W_):
+            o = sparse_conv(f_, W_, kmap, u.valid, center=13)
+            return jnp.sum((o - tgt) ** 2)
+
+        def loss_win(f_, W_):
+            o = window_subm_conv(f_, W_, kmap, u.valid, offs)
+            return jnp.sum((o - tgt) ** 2)
+
+        gf_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(f, W)
+        gf_w, gw_w = jax.grad(loss_win, argnums=(0, 1))(f, W)
+        np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4)
