@@ -48,13 +48,16 @@ def _corner_table(lvl: SparseLevel) -> jax.Array:
     _, zp = _self_z_neighbors(lvl.keys, lvl.valid)
     rows[0] = ident   # (0,0,0)
     rows[1] = zp      # (0,0,1)
-    for (cx, cy) in ((0, 1), (1, 0), (1, 1)):
-        q = jnp.concatenate(
-            [lvl.coords[:, :1],
-             lvl.coords[:, 1:] + jnp.asarray([cx, cy, 0], jnp.int32)], axis=1)
-        z3 = lookup_keys_z3(lvl.keys, make_keys(q, lvl.valid))
-        rows[cx * 4 + cy * 2 + 0] = z3[1]
-        rows[cx * 4 + cy * 2 + 1] = z3[2]
+    cols = ((0, 1), (1, 0), (1, 1))
+    offs = jnp.asarray([[cx, cy, 0] for cx, cy in cols], jnp.int32)
+    q = jnp.concatenate(
+        [jnp.broadcast_to(lvl.coords[None, :, :1], (3, cap, 1)),
+         lvl.coords[None, :, 1:] + offs[:, None, :]], axis=-1)
+    v = jnp.broadcast_to(lvl.valid[None, :], (3, cap))
+    z3 = lookup_keys_z3(lvl.keys, make_keys(q, v))  # [3, 3, cap]
+    for ci, (cx, cy) in enumerate(cols):
+        rows[cx * 4 + cy * 2 + 0] = z3[1, ci]
+        rows[cx * 4 + cy * 2 + 1] = z3[2, ci]
     return jnp.stack(rows, axis=0)
 
 
@@ -186,17 +189,19 @@ def build_pyramid(
             )
             if l >= 1 else None
         )
+        up_parity = (l + 1 < num_levels and updown_kernel == 2
+                     and factors[l + 1] == (2, 2, 2))
         up = (
             _updown_from_inverse(lvl, levels[l + 1], inverses[l + 1], "up")
-            if l + 1 < num_levels and updown_kernel == 2
-            and factors[l + 1] == (2, 2, 2)
+            if up_parity
             else build_up_kmap(
                 levels[l + 1].keys, lvl.coords, lvl.valid,
                 kernel_size=updown_kernel, stride=factors[l + 1],
             )
             if l + 1 < num_levels else None
         )
-        levels[l] = lvl.replace(subm_kmap=subm, down_kmap=down, up_kmap=up)
+        levels[l] = lvl.replace(subm_kmap=subm, down_kmap=down, up_kmap=up,
+                                up_one_hot=up_parity)
 
     # point-side tables
     points_are_level0 = point_coords is None

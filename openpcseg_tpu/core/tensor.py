@@ -38,6 +38,10 @@ class SparseLevel:
                                             # (finer) level: strided conv map
     up_kmap: Optional[jax.Array] = None     # [K, cap] into the next
                                             # (coarser) level: transposed map
+    # True when up_kmap came from the k2/s2 parity construction
+    # (_updown_from_inverse): exactly one offset fires per output, enabling
+    # the one-gather transposed-conv fast path (ops.sparse_conv_up2)
+    up_one_hot: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def capacity(self) -> int:

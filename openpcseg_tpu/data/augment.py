@@ -48,8 +48,14 @@ def aug_points(
         xyz = xyz @ rot
 
     if if_scale:
+        # per-axis scaling restricted to the axes named in SCALE_AUG_AXIS
+        # (reference seg_utils.py:43-100; shipped configs use 'xyz')
         factor = rng.uniform(scale_range[0], scale_range[1])
-        xyz = xyz * factor
+        scale = np.ones(3)
+        for ax, name in enumerate("xyz"):
+            if name in scale_axis:
+                scale[ax] = factor
+        xyz = xyz * scale
 
     if if_flip:
         flip_type = num_vote if if_tta else int(rng.integers(0, 4))

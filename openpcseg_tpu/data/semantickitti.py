@@ -135,6 +135,12 @@ class SemantickittiDataset:
     # --------------------------------------------------------------- items --
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.get_with_rng(index, self.rng)
+
+    def get_with_rng(self, index: int,
+                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Fetch with an explicit generator (BatchLoader passes a
+        worker-local one; np Generators are not thread-safe)."""
         path = self.annos[self.sample_idx[index]]
         raw = self._load_points(path)
         labels = self._load_labels(path, len(raw)).reshape(-1)
@@ -143,18 +149,18 @@ class SemantickittiDataset:
             other_path = self.annos_another[self.sample_idx[index]]
             raw2 = self._load_points(other_path)
             labels2 = self._load_labels(other_path, len(raw2)).reshape(-1)
-            if self.rng.integers(0, 2) == 1:
+            if rng.integers(0, 2) == 1:
                 raw, labels = augment.lasermix(raw, labels, raw2, labels2,
-                                               rng=self.rng)
+                                               rng=rng)
             else:
-                alpha = (self.rng.random() - 1) * np.pi
+                alpha = (rng.random() - 1) * np.pi
                 beta = alpha + np.pi
-                omega = [self.rng.random() * np.pi * 2 / 3,
-                         (self.rng.random() + 1) * np.pi * 2 / 3]
+                omega = [rng.random() * np.pi * 2 / 3,
+                         (rng.random() + 1) * np.pi * 2 / 3]
                 raw, labels = augment.polarmix(
                     raw, labels, raw2, labels2, alpha=alpha, beta=beta,
                     instance_classes=POLARMIX_INSTANCE_CLASSES, omega=omega,
-                    rng=self.rng,
+                    rng=rng,
                 )
 
         ring = self.get_points_ring_id(raw).reshape(-1, 1)

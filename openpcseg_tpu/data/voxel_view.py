@@ -63,7 +63,10 @@ class SemkittiVoxelDataset:
     def resample(self) -> None:
         self.source.resample()
 
-    def _pack(self, xyz, feats, labels, path) -> Dict[str, np.ndarray]:
+    def _pack(self, xyz, feats, labels, path,
+              rng: Optional[np.random.Generator] = None
+              ) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
         cap = self.point_cap
         n = min(len(xyz), cap)
         out = {
@@ -73,7 +76,7 @@ class SemkittiVoxelDataset:
             "valid": np.zeros((cap,), bool),
         }
         if len(xyz) > cap:  # keep a random subset, never bias by file order
-            sel = self.rng.choice(len(xyz), cap, replace=False)
+            sel = rng.choice(len(xyz), cap, replace=False)
             xyz, feats, labels = xyz[sel], feats[sel], labels[sel]
         out["xyz"][:n] = xyz[:n]
         out["feats"][:n] = feats[:n]
@@ -83,8 +86,12 @@ class SemkittiVoxelDataset:
         return out
 
     def get_sample(self, index: int, num_vote: int = 0,
-                   tta: bool = False) -> Dict[str, np.ndarray]:
-        pc = self.source[index]
+                   tta: bool = False,
+                   rng: Optional[np.random.Generator] = None
+                   ) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
+        src = getattr(self.source, "get_with_rng", None)
+        pc = src(index, rng) if src is not None else self.source[index]
         point = pc["xyzret"][:, :self.FEAT_DIM].astype(np.float32)
         labels = pc["labels"].reshape(-1)
 
@@ -99,15 +106,18 @@ class SemkittiVoxelDataset:
                 if_rotate=self.if_rotate,
                 if_tta=tta,
                 num_vote=num_vote,
-                rng=self.rng,
+                rng=rng,
             )
         # feats = augmented xyz + intensity (reference feat_ = point,
         # semantickitti_voxel.py:114)
         feats = point
-        return self._pack(point[:, :3], feats, labels, pc["path"])
+        return self._pack(point[:, :3], feats, labels, pc["path"], rng)
 
     def __getitem__(self, index: int):
         return self.get_sample(index)
+
+    def get_with_rng(self, index: int, rng: np.random.Generator):
+        return self.get_sample(index, rng=rng)
 
     def get_tta_sample(self, index: int, voting: int = 10):
         """10-vote TTA variants of one scan (reference :62-69)."""
@@ -161,12 +171,24 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
 
+        # each worker gets its own seeded Generator: np.random.Generator is
+        # documented non-thread-safe, and the dataset's augmentation draws
+        # would otherwise race on the shared one
+        epoch_seed = int(self.rng.integers(0, 2**31 - 1))
+
         def worker(worker_id: int):
+            wrng = np.random.default_rng((epoch_seed, worker_id))
             for bi in range(worker_id, nb, self.num_workers):
                 if stop.is_set():
                     return
-                samples = [self.dataset[i] for i in batches[bi]]
-                q.put((bi, collate(samples)))
+                try:
+                    samples = [
+                        self._fetch(i, wrng) for i in batches[bi]
+                    ]
+                    q.put((bi, collate(samples)))
+                except BaseException as e:  # surface in the main thread
+                    q.put((bi, e))
+                    return
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
@@ -178,7 +200,15 @@ class BatchLoader:
             nxt = 0
             got = 0
             while got < nb:
-                bi, b = q.get()
+                try:
+                    bi, b = q.get(timeout=300)
+                except queue.Empty:
+                    if not any(t.is_alive() for t in threads):
+                        raise RuntimeError(
+                            "all BatchLoader workers died without output")
+                    continue
+                if isinstance(b, BaseException):
+                    raise b
                 pending[bi] = b
                 got += 1
                 while nxt in pending:
@@ -189,3 +219,11 @@ class BatchLoader:
                 nxt += 1
         finally:
             stop.set()
+
+    def _fetch(self, i: int, wrng: np.random.Generator):
+        """Fetch one sample, routing augmentation draws through the
+        worker-local generator when the dataset supports it."""
+        getter = getattr(self.dataset, "get_with_rng", None)
+        if getter is not None:
+            return getter(i, wrng)
+        return self.dataset[i]

@@ -168,8 +168,12 @@ class Trainer:
             payload = self.ckpt_mgr.restore(
                 step, args=ocp.args.StandardRestore(template))
         else:
-            payload = ocp.StandardCheckpointer().restore(
-                Path(path_or_none).resolve(), template)
+            # CheckpointManager writes the payload under <epoch>/default;
+            # accept both `--ckp .../ckp/12` and a direct item dir
+            p = Path(path_or_none).resolve()
+            if (p / "default").is_dir():
+                p = p / "default"
+            payload = ocp.StandardCheckpointer().restore(p, template)
         # template-typed restore: payload["state"] is a TrainState pytree
         self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
         self.start_epoch = int(payload["epoch"]) + 1
@@ -233,8 +237,11 @@ class Trainer:
 
         unique_label = np.arange(self.num_class - 1)
         miou, iou = miou_from_hist(hist, unique_label)
+        # per-class table uses the ACTIVE dataset's names (Waymo has 23
+        # classes — the KITTI list would mislabel and truncate the table)
+        names = getattr(self.val_set, "class_names", CLASS_NAMES)
         lines = [f"{prefix} mIoU: {miou:.2f}"]
-        for ci, name in enumerate(CLASS_NAMES[1:self.num_class]):
+        for ci, name in enumerate(names[1:self.num_class]):
             lines.append(f"  {name:>14s}: {iou[ci]:6.2f}")
         self.logger.info("\n".join(lines))
         self.metrics.write(int(self.state.step) if self.state else 0,

@@ -28,12 +28,40 @@ def _lovasz_grad(fg_sorted: jax.Array) -> jax.Array:
     return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
 
 
+@jax.custom_vjp
 def _lovasz_class(errors: jax.Array, fg: jax.Array) -> jax.Array:
-    """Single-class Lovász term: sort errors descending, dot with grad."""
+    """Single-class Lovász term: sort errors descending, dot with grad.
+
+    Custom VJP: d loss / d errors[i] = lovasz_grad[rank(i)] (the loss is
+    linear in the sorted errors; the permutation and fg carry no gradient).
+    Expressing this as a gather by rank replaces autodiff's
+    scatter-through-the-sort, which profiled at 14.6 ms/step on v5e
+    (scatters cost ~3x gathers per row on TPU). rank is recovered with one
+    extra int sort in the forward.
+    """
     neg_err, fg_sorted = jax.lax.sort((-errors, fg), num_keys=1)
-    errors_sorted = -neg_err
+    return jnp.dot(-neg_err, _lovasz_grad(fg_sorted))
+
+
+def _lovasz_class_fwd(errors, fg):
+    n = errors.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    neg_err, fg_sorted, perm = jax.lax.sort((-errors, fg, iota), num_keys=1)
     grad = _lovasz_grad(fg_sorted)
-    return jnp.dot(errors_sorted, grad)
+    loss = jnp.dot(-neg_err, grad)
+    # rank[i] = position of row i in the sorted order (perm inverted by
+    # sorting (perm, iota) — perm is a permutation so the carried iota at
+    # slot i is exactly rank(i))
+    _, rank = jax.lax.sort((perm, iota), num_keys=1)
+    return loss, (grad, rank)
+
+
+def _lovasz_class_bwd(res, g):
+    grad, rank = res
+    return (g * grad[rank], jnp.zeros_like(grad))
+
+
+_lovasz_class.defvjp(_lovasz_class_fwd, _lovasz_class_bwd)
 
 
 def lovasz_softmax(

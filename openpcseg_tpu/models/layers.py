@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.kmap import kernel_offsets
-from ..ops.sparse_conv import sparse_conv, sparse_conv_1x1, window_subm_conv
+from ..ops.sparse_conv import (
+    sparse_conv,
+    sparse_conv_1x1,
+    sparse_conv_up2,
+    window_subm_conv,
+)
 
 # submanifold conv implementation: "window" (z-column window gathers, the
 # fast path — see ops/sparse_conv.py) or "gather" (reference 26-row-gather
@@ -53,6 +58,9 @@ class SparseConv(nn.Module):
     kernel_size: int | tuple = 3
     use_bias: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # set True for transposed k2/s2 convs whose kmap fires exactly one
+    # offset per output (SparseLevel.up_one_hot): one-gather fast path
+    one_hot_kmap: bool = False
 
     @nn.compact
     def __call__(self, feats: jax.Array, kmap: Optional[jax.Array],
@@ -79,7 +87,11 @@ class SparseConv(nn.Module):
             # (kmap_t None => offset-symmetric same-coordinate-set conv);
             # a strided k=3 conv has an all-odd kernel but no identity row
             center = k // 2 if (all_odd and kmap_t is None) else None
-            if (CONV_IMPL == "window" and all_odd and kmap_t is None
+            if (CONV_IMPL == "window" and self.one_hot_kmap and k == 8
+                    and kmap_t is not None):
+                out = sparse_conv_up2(feats, w, kmap, out_valid, kmap_t,
+                                      compute_dtype=self.compute_dtype)
+            elif (CONV_IMPL == "window" and all_odd and kmap_t is None
                     and kmap.shape[1] == feats.shape[0]):
                 out = window_subm_conv(
                     feats, w, kmap, out_valid, kernel_offsets(ks),

@@ -69,6 +69,7 @@ class MinkUNet(nn.Module):
         """transposed conv + skip concat + blocks (reference
         minkunet.py:272-330, torchsparse.cat at :404)."""
         x = SparseConv(planes, kernel_size=2,
+                       one_hot_kmap=fine.up_one_hot,
                        compute_dtype=self.compute_dtype)(
             feats, fine.up_kmap, fine.valid, kmap_t=coarse.down_kmap)
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine.valid, not train)

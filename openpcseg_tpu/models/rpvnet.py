@@ -133,6 +133,7 @@ class RPVNet(nn.Module):
     def _up(self, feats, skip_feats, coarse, fine, planes, n_blocks,
             block_cls, train):
         x = SparseConv(planes, kernel_size=2,
+                       one_hot_kmap=fine.up_one_hot,
                        compute_dtype=self.compute_dtype)(
             feats, fine.up_kmap, fine.valid, kmap_t=coarse.down_kmap)
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine.valid, not train)

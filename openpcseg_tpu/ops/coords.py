@@ -167,15 +167,20 @@ def _count_le(h: jax.Array, l: jax.Array, qh: jax.Array, ql: jax.Array) -> jax.A
 
 
 def _tree_search(table: Keys, qh: jax.Array, ql: jax.Array, node: int):
-    """Position of the last table key <= q (clamped to [0, cap-1]) plus the
-    key stored there. Shared core of lookup_keys / lookup_keys_z3."""
+    """Position of the last table key <= q (clamped to [0, cap-1]).
+
+    Shared core of lookup_keys / lookup_keys_z3. Returns pos only; callers
+    read the keys around pos from the interleaved window table (ONE 32-byte
+    row gather) instead of per-element scalar gathers / take_along_axis —
+    profiling round 1 showed those scalar epilogues cost more than the tree
+    descent itself (~50 ms/step at mk34 scale).
+    """
     _n = node
     cap = table.hi.shape[0]
 
     if cap <= _n * _n:
         cnt = _count_le(table.hi[None, :], table.lo[None, :], qh, ql)
-        pos = jnp.maximum(cnt - 1, 0)
-        return pos, table.hi[pos], table.lo[pos]
+        return jnp.maximum(cnt - 1, 0)
 
     def make_level(hi, lo):
         n = hi.shape[0]
@@ -193,17 +198,27 @@ def _tree_search(table: Keys, qh: jax.Array, ql: jax.Array, node: int):
 
     cnt = _count_le(top_hi[None, :], top_lo[None, :], qh, ql)
     nd = jnp.maximum(cnt - 1, 0)
-    th = tl = None
-    for li, rows in enumerate(reversed(levels)):
+    for rows in reversed(levels):
         r = rows[nd]
         c = _count_le(r[:, :_n], r[:, _n:], qh, ql)
-        child = jnp.maximum(c - 1, 0)
-        if li == len(levels) - 1:
-            th = jnp.take_along_axis(r[:, :_n], child[:, None], axis=1)[:, 0]
-            tl = jnp.take_along_axis(r[:, _n:], child[:, None], axis=1)[:, 0]
-        nd = nd * _n + child
-    pos = jnp.minimum(nd, cap - 1)
-    return pos, th, tl
+        nd = nd * _n + jnp.maximum(c - 1, 0)
+    return jnp.minimum(nd, cap - 1)
+
+
+def _key_window(table: Keys) -> jax.Array:
+    """[cap, 8] int32: row i = [hi[i-1], lo[i-1], hi[i], lo[i], hi[i+1],
+    lo[i+1], pad, pad]. One row gather yields the search position's key and
+    both neighbors (padded lanes keep rows 128-bit aligned). Built with
+    shifts only; identical rebuilds within one jit are CSE'd away."""
+    cap = table.hi.shape[0]
+    inval = jnp.full((1,), INT32_MAX, jnp.int32)
+    hm = jnp.concatenate([inval, table.hi[:-1]])
+    lm = jnp.concatenate([inval, table.lo[:-1]])
+    hp = jnp.concatenate([table.hi[1:], inval])
+    lp = jnp.concatenate([table.lo[1:], inval])
+    pad = jnp.full((cap,), INT32_MAX, jnp.int32)
+    return jnp.stack(
+        [hm, lm, table.hi, table.lo, hp, lp, pad, pad], axis=1)
 
 
 def lookup_keys_z3(table: Keys, q: Keys, node: int = _NODE):
@@ -212,7 +227,7 @@ def lookup_keys_z3(table: Keys, q: Keys, node: int = _NODE):
     Exploits the packed key layout: the z-1 / z+1 neighbors of a voxel have
     keys exactly lo-1 / lo+1, which (table being sorted and keys distinct)
     can only sit at positions pos-1 / pos / pos+1 around the search result —
-    two extra scalar gathers replace two full tree searches. Field wrap at
+    one window-row gather replaces two full tree searches. Field wrap at
     z=0 / z=2^15-1 produces keys that cannot exist in a real table
     (z ~ 32767 exceeds any scan extent), so wraps are natural misses.
     """
@@ -222,17 +237,17 @@ def lookup_keys_z3(table: Keys, q: Keys, node: int = _NODE):
     ql = q.lo.reshape(-1)
     qvalid = qh != INT32_MAX
 
-    pos, th, tl = _tree_search(table, qh, ql, node)
+    pos = _tree_search(table, qh, ql, node)
+    w = _key_window(table)[pos]
+    mh, ml, th, tl, ph, pl = (w[:, i] for i in range(6))
     pm = jnp.maximum(pos - 1, 0)
     pp = jnp.minimum(pos + 1, cap - 1)
-    mh, ml = table.hi[pm], table.lo[pm]
-    ph, pl = table.hi[pp], table.lo[pp]
 
     def find(dlo):
         tq_h, tq_l = qh, ql + dlo
         at_pos = (th == tq_h) & (tl == tq_l)
-        at_m = (mh == tq_h) & (ml == tq_l) & (pm < pos)
-        at_p = (ph == tq_h) & (pl == tq_l) & (pp > pos)
+        at_m = (mh == tq_h) & (ml == tq_l)
+        at_p = (ph == tq_h) & (pl == tq_l)
         idx = jnp.where(at_pos, pos,
                         jnp.where(at_m, pm, jnp.where(at_p, pp, -1)))
         return jnp.where(qvalid, idx, -1).astype(jnp.int32)
@@ -251,7 +266,8 @@ def lookup_keys(table: Keys, q: Keys, node: int = _NODE) -> jax.Array:
       top:  <=16^2 separator keys, brute-force vector compare (no gather)
       L2:   one 128B row gather -> 16-way branch
       L1:   one 128B row gather -> 16-way branch
-      L0:   one 128B row gather -> exact position + hit check
+      L0:   one 128B row gather -> position; hit check via the interleaved
+            window table (one 32B row gather)
 
     The tree is built from the sorted table with strided slices only (no
     sort); padding keys are INT32_MAX and sort last. Replaces the
@@ -260,8 +276,9 @@ def lookup_keys(table: Keys, q: Keys, node: int = _NODE) -> jax.Array:
     qshape = q.hi.shape
     qh = q.hi.reshape(-1)
     ql = q.lo.reshape(-1)
-    pos, th, tl = _tree_search(table, qh, ql, node)
-    hit = (th == qh) & (tl == ql) & (qh != INT32_MAX)
+    pos = _tree_search(table, qh, ql, node)
+    w = _key_window(table)[pos]
+    hit = (w[:, 2] == qh) & (w[:, 3] == ql) & (qh != INT32_MAX)
     return jnp.where(hit, pos, -1).reshape(qshape).astype(jnp.int32)
 
 

@@ -128,6 +128,10 @@ def build_subm_kmap(
     for k, (dx, dy, dz) in enumerate(offs):
         cols.setdefault((int(dx), int(dy)), []).append((int(dz), k))
 
+    # batch all off-center columns into ONE tree-search call ([C, N]
+    # queries): one big fusion instead of 8 small ones (measured ~2x on
+    # the geometry pass at mk34 scale)
+    z3_cols, z1_cols = [], []
     for (dx, dy), members in cols.items():
         dzs = sorted(d for d, _ in members)
         k_of = {d: k for d, k in members}
@@ -137,18 +141,31 @@ def build_subm_kmap(
                 zm, zp = _self_z_neighbors(level_keys, valid)
             for d in dzs:
                 rows[k_of[d]] = ident if d == 0 else (zm if d == -1 else zp)
-            continue
-        q = jnp.concatenate(
-            [coords[:, :1],
-             coords[:, 1:] + jnp.asarray([dx, dy, 0], jnp.int32)], axis=1)
-        qk = make_keys(q, valid)
-        if dzs == [0]:
-            from .coords import lookup_keys
-            rows[k_of[0]] = lookup_keys(level_keys, qk)
+        elif dzs == [0]:
+            z1_cols.append(((dx, dy), k_of))
         else:
-            z3 = lookup_keys_z3(level_keys, qk)  # [3, N] for dz -1/0/+1
+            z3_cols.append(((dx, dy), dzs, k_of))
+
+    def col_keys(col_list):
+        offs_j = jnp.asarray([[dx, dy, 0] for (dx, dy), *_ in col_list],
+                             jnp.int32)
+        q = jnp.concatenate(
+            [jnp.broadcast_to(coords[None, :, :1],
+                              (len(col_list), n, 1)),
+             coords[None, :, 1:] + offs_j[:, None, :]], axis=-1)
+        v = jnp.broadcast_to(valid[None, :], (len(col_list), n))
+        return make_keys(q, v)
+
+    if z3_cols:
+        z3 = lookup_keys_z3(level_keys, col_keys(z3_cols))  # [3, C, N]
+        for ci, (_, dzs, k_of) in enumerate(z3_cols):
             for d in dzs:
-                rows[k_of[d]] = z3[d + 1]
+                rows[k_of[d]] = z3[d + 1, ci]
+    if z1_cols:
+        from .coords import lookup_keys
+        r1 = lookup_keys(level_keys, col_keys(z1_cols))  # [C, N]
+        for ci, (_, k_of) in enumerate(z1_cols):
+            rows[k_of[0]] = r1[ci]
 
     return jnp.stack([rows[k] for k in range(len(offs))], axis=0)
 

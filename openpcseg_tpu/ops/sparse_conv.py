@@ -372,6 +372,86 @@ def window_subm_conv(
     return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
 
 
+# --------------------------------------------------------------------------
+# k=2 / stride=2 transposed (up) conv fast path.
+#
+# With kernel 2 == stride 2 on every axis, each fine output voxel matches
+# its unique parent at the single offset given by its coordinate parity
+# (core/geometry.py _updown_from_inverse). The forward is then one matmul
+# batch + ONE row gather instead of 8 masked gathers:
+#     T[i, k] = feats[i] @ W[k]           (8 small MXU matmuls, fused)
+#     out[f]  = T_flat[parent(f) * 8 + parity(f)]
+# The backward keeps the gather-only transposed-map formulation of
+# _core_bwd (the down map enumerates each parent's children exactly once).
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _up2_core(feats, weights, kmap, kmap_t, compute_dtype):
+    return _up2_fwd_impl(feats, weights, kmap, compute_dtype)
+
+
+def _up2_fwd_impl(feats, weights, kmap, cdt):
+    k, cin, cout = weights.shape
+    nc = feats.shape[0]
+    fc = feats.astype(cdt)
+    w_all = jnp.transpose(weights.astype(cdt), (1, 0, 2)).reshape(
+        cin, k * cout)
+    t = jnp.dot(fc, w_all, preferred_element_type=jnp.float32)  # [Nc, K*Cout]
+    t_flat = t.reshape(nc * k, cout).astype(cdt)
+    hit = kmap >= 0                                            # [K, Nf]
+    idx = jnp.max(
+        jnp.where(hit, kmap * k + jnp.arange(k, dtype=kmap.dtype)[:, None],
+                  -1), axis=0)                                 # [Nf]
+    g = t_flat[jnp.maximum(idx, 0)].astype(jnp.float32)
+    return jnp.where((idx >= 0)[:, None], g, 0.0)
+
+
+def _up2_fwd(feats, weights, kmap, kmap_t, compute_dtype):
+    out = _up2_fwd_impl(feats, weights, kmap, compute_dtype)
+    return out, (feats, weights, kmap_t)
+
+
+def _up2_bwd(compute_dtype, res, dout):
+    feats, weights, kmap_t = res
+    k, cin, cout = weights.shape
+    cdt = compute_dtype
+    fc = feats.astype(cdt)
+    w_t = jnp.swapaxes(weights.astype(cdt), 1, 2)
+
+    def body(acc, kw):
+        idx_t_row, wt = kw
+        g_t = _gather_rows(dout, idx_t_row, cdt)
+        dacc = acc + jnp.dot(g_t, wt, preferred_element_type=jnp.float32)
+        dw_k = jax.lax.dot_general(
+            fc, g_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dacc, dw_k
+
+    init = jnp.zeros((kmap_t.shape[1], cin), jnp.float32)
+    dfeats, dws = jax.lax.scan(body, init, (kmap_t, w_t), unroll=_UNROLL)
+    return (dfeats.astype(feats.dtype), dws.astype(weights.dtype), None, None)
+
+
+_up2_core.defvjp(_up2_fwd, _up2_bwd)
+
+
+def sparse_conv_up2(
+    feats: jax.Array,      # [N_coarse, Cin]
+    weights: jax.Array,    # [8, Cin, Cout]
+    kmap: jax.Array,       # [8, N_fine] up map: exactly one hit per output
+    out_valid: jax.Array,  # [N_fine]
+    kmap_t: jax.Array,     # [8, N_coarse] down map (for the backward)
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Transposed k2/s2 conv where each output has exactly one matched
+    (input, offset) pair. Numerically identical to :func:`sparse_conv`."""
+    out = _up2_core(feats, weights, kmap, kmap_t, compute_dtype)
+    out = jnp.where(out_valid[:, None], out, 0)
+    return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
+
+
 def sparse_conv_1x1(
     feats: jax.Array,      # [N, Cin]
     weights: jax.Array,    # [Cin, Cout] or [1, Cin, Cout]

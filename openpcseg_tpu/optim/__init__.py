@@ -84,6 +84,8 @@ def build_lr_schedule(optim_cfg, iters_per_epoch: int, total_epochs: int
             peak_value=optim_cfg.get("LEARNING_RATE", base_lr),
             pct_start=0.2, div_factor=25.0, final_div_factor=100.0,
         )
+    elif name in ("none", "constant"):
+        factor = lambda step: 1.0  # noqa: E731
     else:
         raise NotImplementedError(f"SCHEDULER {name}")
 
@@ -115,8 +117,26 @@ def build_optimizer(optim_cfg, iters_per_epoch: int, total_epochs: int
         nesterov = bool(optim_cfg.get("NESTEROV", False))
         parts.append(optax.trace(decay=momentum, nesterov=nesterov))
         parts.append(optax.scale_by_learning_rate(lr))
-        # sgd_fc's 10x classifier LR is applied by the Trainer via a mask
-        # (reference optim/__init__.py:24-34).
+        if name == "sgd_fc":
+            # 10x LR on the classifier head (reference
+            # pcseg/optim/__init__.py:24-34 splits params on
+            # 'classifier'); implemented as a per-leaf scale so it
+            # composes with any schedule.
+            def _fc_labels(params):
+                def walk(tree, in_fc):
+                    if isinstance(tree, dict) or hasattr(tree, "items"):
+                        return {
+                            k: walk(v, in_fc or "classifier" in str(k))
+                            for k, v in tree.items()
+                        }
+                    return "fc" if in_fc else "base"
+                return walk(params, False)
+
+            parts.append(optax.multi_transform(
+                {"base": optax.identity(),
+                 "fc": optax.scale(10.0)},
+                _fc_labels,
+            ))
     elif name == "adam":
         if wd:
             parts.append(optax.add_decayed_weights(wd))  # torch Adam: L2 in grad

@@ -61,3 +61,35 @@ def test_dispatcher_grads(fake, types):
     assert np.abs(np.asarray(g)).max() > 0
     v = float(crit(logits, labels, valid))
     assert np.isfinite(v) and v > 0
+
+
+def test_sgd_fc_scales_classifier_lr():
+    """sgd_fc applies 10x LR to classifier params (reference
+    pcseg/optim/__init__.py:24-34); everything else matches plain sgd."""
+    import jax.numpy as jnp
+    from openpcseg_tpu.config import CfgDict
+    from openpcseg_tpu.optim import build_optimizer
+
+    params = {
+        "backbone": {"kernel": jnp.ones((3,))},
+        "classifier": {"kernel": jnp.ones((3,)), "bias": jnp.ones((2,))},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def one_step(opt_name):
+        cfg = CfgDict({"OPTIMIZER": opt_name, "LR": 0.1,
+                       "SCHEDULER": "none", "MOMENTUM": 0.0,
+                       "WEIGHT_DECAY": 0.0})
+        tx, _ = build_optimizer(cfg, 10, 1)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        return upd
+
+    u_sgd = one_step("sgd")
+    u_fc = one_step("sgd_fc")
+    np.testing.assert_allclose(
+        np.asarray(u_fc["backbone"]["kernel"]),
+        np.asarray(u_sgd["backbone"]["kernel"]))
+    np.testing.assert_allclose(
+        np.asarray(u_fc["classifier"]["kernel"]),
+        10.0 * np.asarray(u_sgd["classifier"]["kernel"]), rtol=1e-6)

@@ -305,3 +305,44 @@ class TestWindowConv:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestUp2Conv:
+    """sparse_conv_up2 (one-gather parity fast path) vs sparse_conv."""
+
+    def test_matches_generic_transposed_conv(self, rng):
+        from openpcseg_tpu.ops.sparse_conv import sparse_conv_up2
+
+        coords, _ = make_sparse_scene(rng, span=8, n_batch=2, cin=4)
+        cap_f, cap_c = 256, 128
+        uf = unique_coords(jnp.asarray(coords),
+                           jnp.ones((len(coords),), bool), cap_f)
+        down = build_downsample(uf.coords, uf.valid, cap_c, stride=2)
+        up_kmap = build_up_kmap(down.keys, uf.coords, uf.valid,
+                                kernel_size=2, stride=2)
+        down_kmap = build_down_kmap(uf.keys, True, down.coords, down.valid,
+                                    kernel_size=2, stride=2)
+        cin, cout = 5, 6
+        fc = jnp.asarray(rng.normal(size=(cap_c, cin)).astype(np.float32))
+        fc = jnp.where(down.valid[:, None], fc, 0.0)
+        W = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32))
+        tgt = jnp.asarray(rng.normal(size=(cap_f, cout)).astype(np.float32))
+
+        def loss_ref(f_, W_):
+            o = sparse_conv(f_, W_, up_kmap, uf.valid, kmap_t=down_kmap)
+            return jnp.sum((o - tgt) ** 2), o
+
+        def loss_up2(f_, W_):
+            o = sparse_conv_up2(f_, W_, up_kmap, uf.valid, down_kmap)
+            return jnp.sum((o - tgt) ** 2), o
+
+        (lr, o_r), (gf_r, gw_r) = jax.value_and_grad(
+            loss_ref, argnums=(0, 1), has_aux=True)(fc, W)
+        (lw, o_w), (gf_w, gw_w) = jax.value_and_grad(
+            loss_up2, argnums=(0, 1), has_aux=True)(fc, W)
+        np.testing.assert_allclose(np.asarray(o_w), np.asarray(o_r),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw_w), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-4)
