@@ -67,8 +67,18 @@ def build_dataloader(
         data_cfgs, training=training, root_path=root_path,
         point_cap=point_cap, seed=seed,
     )
+    # per-host input sharding (multi-host DP): each process loads only its
+    # slice of every global batch; eval tails are padded to the full global
+    # batch with invalid samples so sharded eval shapes stay static
+    # (reference DistributedSampler + padded eval sampler,
+    # pcseg/data/__init__.py:23-43,106-113)
+    import jax
+
     loader = BatchLoader(
         dataset, batch_size, shuffle=training,
         num_workers=num_workers, seed=seed, drop_last=training,
+        pad_last=not training,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     return dataset, loader

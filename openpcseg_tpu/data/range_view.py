@@ -150,7 +150,7 @@ class SemkittiRangeViewDataset:
         point_cap: int = 0,  # unused (dense images); kept for API parity
         seed: int = 0,
     ):
-        del point_cap
+        self.point_eval_cap = point_cap or 131072
         self.data_cfgs = data_cfgs
         self.training = training
         self.class_names = CLASS_NAMES
@@ -273,12 +273,52 @@ class SemkittiRangeViewDataset:
                 scan, label, mask = range_union(
                     scan, label, mask, scan_b, label_b, mask_b)
 
-        return {
+        out = {
             "scan": scan.astype(np.float32),
             "label": label.astype(np.int32),
             "mask": mask.astype(np.float32),
             "name": path,
         }
+        if not self.training:
+            out.update(self._point_eval_arrays(index))
+        return out
+
+    def _point_eval_arrays(self, index: int) -> Dict[str, np.ndarray]:
+        """Per-point projection arrays for point-level eval (reference
+        range/utils.py:209-341: predictions are re-projected from pixels to
+        the ORIGINAL points, optionally KNN-refined — published range mIoU
+        protocols are per-point, not per-pixel). Eval is unaugmented, so
+        px/py/range are the closed-form projection of the raw scan."""
+        pc = self.source[index]
+        pts = pc["xyzret"][:, :3].astype(np.float32)
+        lab = pc["labels"].reshape(-1).astype(np.int32)
+        depth = np.maximum(np.linalg.norm(pts, 2, axis=1), 1e-8)
+        yaw = -np.arctan2(pts[:, 1], pts[:, 0])
+        pitch = np.arcsin(np.clip(pts[:, 2] / depth, -1, 1))
+        fov_up = 3.0 / 180.0 * np.pi
+        fov_down = -25.0 / 180.0 * np.pi
+        fov = abs(fov_down) + abs(fov_up)
+        px = np.clip(np.floor(0.5 * (yaw / np.pi + 1.0) * self.w),
+                     0, self.w - 1).astype(np.int32)
+        py = np.clip(
+            np.floor((1.0 - (pitch + abs(fov_down)) / fov) * self.h),
+            0, self.h - 1).astype(np.int32)
+
+        cap = self.point_eval_cap
+        n = min(len(pts), cap)
+        out = {
+            "p_label": np.full((cap,), -1, np.int32),
+            "p_px": np.zeros((cap,), np.int32),
+            "p_py": np.zeros((cap,), np.int32),
+            "p_range": np.zeros((cap,), np.float32),
+            "p_valid": np.zeros((cap,), bool),
+        }
+        out["p_label"][:n] = lab[:n]
+        out["p_px"][:n] = px[:n]
+        out["p_py"][:n] = py[:n]
+        out["p_range"][:n] = depth[:n]
+        out["p_valid"][:n] = True
+        return out
 
 
 def synthetic_range_batch(seed: int, batch: int, h: int = 64, w: int = 512,

@@ -148,25 +148,66 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
-                 num_workers: int = 4, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = True,
+                 pad_last: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        """batch_size is the GLOBAL batch; with process_count > 1 each
+        process yields its `batch_size // process_count` slice of every
+        global batch (replaces torch's DistributedSampler, reference
+        pcseg/data/__init__.py:106-113). All processes must construct the
+        loader with the same seed so the shuffled order agrees.
+
+        pad_last pads the final partial batch with all-invalid zero samples
+        (valid=False, labels=-1) so every batch has the full static batch
+        dim — required for sharded eval and to avoid per-shape retraces
+        (reference pads its eval sampler to world size, data/__init__.py:
+        23-43).
+        """
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_bs = batch_size // process_count
+        self.process_index = process_index
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.pad_last = pad_last
+        self._zero_sample = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _zeros_like_sample(self, sample: Dict[str, np.ndarray]):
+        if self._zero_sample is None:
+            z: Dict[str, np.ndarray] = {}
+            for k, v in sample.items():
+                if not isinstance(v, np.ndarray):
+                    continue
+                if k == "labels" or k == "label":
+                    z[k] = np.full_like(v, -1)
+                else:
+                    z[k] = np.zeros_like(v)
+            if "name" in sample:
+                z["name"] = "<pad>"
+            self._zero_sample = z
+        return self._zero_sample
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
-        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(nb)]
+        pi = self.process_index
+        batches = []
+        for i in range(nb):
+            g = order[i * self.batch_size:(i + 1) * self.batch_size]
+            if len(g) < self.batch_size and self.pad_last:
+                g = np.concatenate(
+                    [g, np.full(self.batch_size - len(g), -1, g.dtype)])
+            loc = g[pi * self.local_bs:(pi + 1) * self.local_bs]
+            batches.append(loc)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.num_workers * 2)
         stop = threading.Event()
@@ -222,7 +263,12 @@ class BatchLoader:
 
     def _fetch(self, i: int, wrng: np.random.Generator):
         """Fetch one sample, routing augmentation draws through the
-        worker-local generator when the dataset supports it."""
+        worker-local generator when the dataset supports it. i == -1 yields
+        the all-invalid padding sample (pad_last tails)."""
+        if i < 0:
+            if self._zero_sample is None:
+                self._zeros_like_sample(self.dataset[0])
+            return self._zero_sample
         getter = getattr(self.dataset, "get_with_rng", None)
         if getter is not None:
             return getter(i, wrng)

@@ -356,18 +356,51 @@ class SegTask:
         return point_probs.reshape(b, -1, self.num_class)
 
     def _range_eval_step(self, state, batch):
-        """Per-pixel eval: argmax vs label image (reference
-        train.py:430-434 handles dense [bs,cls,H,W] predictions; class 0
-        is cropped out of the IoU at reporting time)."""
+        """Range eval. With per-point arrays in the batch (p_label/p_px/
+        p_py/p_range from the eval view), predictions are re-projected to
+        the original points — optionally KNN-refined — and the confusion
+        matrix is per-point, matching the reference's published protocol
+        (range/utils.py:209-341). Otherwise falls back to per-pixel eval
+        (reference Trainer path, train.py:430-434)."""
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["scan"], train=False,
         )
         logits = out[0] if isinstance(out, tuple) else out
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(-1)
-        labels = batch["label"].reshape(-1)
-        hist = confusion_matrix(
-            pred, labels, jnp.ones_like(labels, dtype=bool), self.num_class)
+        pred_img = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, H, W]
+
+        if "p_label" in batch:
+            knn_cfg = self.cfgs.MODEL.get("KNN_POST", True)
+            proj_range = batch["scan"][..., 4] * 80.0  # un-normalized depth
+
+            if knn_cfg:
+                kw = knn_cfg if isinstance(knn_cfg, dict) else {}
+                from ..ops.range_knn import knn_postprocess
+                point_pred = jax.vmap(
+                    lambda pr, pi, rng_, px, py, v: knn_postprocess(
+                        pr, pi, rng_, px, py, v,
+                        num_class=self.num_class,
+                        k=int(kw.get("K", 5)),
+                        search=int(kw.get("SEARCH", 5)),
+                        sigma=float(kw.get("SIGMA", 1.0)),
+                        cutoff=float(kw.get("CUTOFF", 1.0)),
+                    )
+                )(proj_range, pred_img, batch["p_range"],
+                  batch["p_px"], batch["p_py"], batch["p_valid"])
+            else:
+                w = pred_img.shape[-1]
+                flat = pred_img.reshape(pred_img.shape[0], -1)
+                lin = batch["p_py"] * w + batch["p_px"]
+                point_pred = jnp.take_along_axis(flat, lin, axis=1)
+            hist = confusion_matrix(
+                point_pred.reshape(-1), batch["p_label"].reshape(-1),
+                batch["p_valid"].reshape(-1), self.num_class)
+        else:
+            pred = pred_img.reshape(-1)
+            labels = batch["label"].reshape(-1)
+            hist = confusion_matrix(
+                pred, labels, jnp.ones_like(labels, dtype=bool),
+                self.num_class)
         if self.axis_name is not None:
             hist = jax.lax.psum(hist, self.axis_name)
         return {"hist": hist}

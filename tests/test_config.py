@@ -68,8 +68,42 @@ def test_all_shipped_configs_parse():
     from pathlib import Path
     root = Path(__file__).resolve().parents[1] / "tools" / "cfgs"
     yamls = sorted(root.rglob("*.yaml"))
-    assert len(yamls) >= 8
+    assert len(yamls) >= 25
+    import jax.numpy as jnp
+    from openpcseg_tpu.data import num_classes_for
+    from openpcseg_tpu.engine import SegTask
     for y in yamls:
         cfg = cfg_from_yaml_file(y)
         assert "MODALITY" in cfg and "MODEL" in cfg and "OPTIM" in cfg
         assert cfg.MODEL.NAME  # registry key present
+        nc = num_classes_for(cfg.DATA.DATASET)
+        SegTask(cfg, nc, batch_per_device=1, iters_per_epoch=10,
+                total_epochs=1, compute_dtype=jnp.float32)
+
+
+def test_all_reference_yamls_load_and_construct():
+    """Schema compatibility is enforced, not claimed: every YAML under the
+    reference's tools/cfgs must load through cfg_from_yaml_file and
+    construct a SegTask (no step run). Reference: /root/reference/tools/cfgs."""
+    import glob
+    import jax.numpy as jnp
+    from openpcseg_tpu.config import cfg_from_yaml_file, CfgDict
+    from openpcseg_tpu.data import num_classes_for
+    from openpcseg_tpu.engine import SegTask
+
+    ref_cfgs = sorted(glob.glob("/root/reference/tools/cfgs/**/*.yaml",
+                                recursive=True))
+    if not ref_cfgs:
+        import pytest
+        pytest.skip("reference checkout not present")
+    assert len(ref_cfgs) == 25, ref_cfgs
+    for path in ref_cfgs:
+        cfgs = cfg_from_yaml_file(path, CfgDict())
+        ds = cfgs.DATA.DATASET
+        if ds == "nuscenes":  # reference stubs nuscenes (classes exist
+            ds = "semantickitti"  # nowhere); remap like its range driver
+            cfgs.DATA.DATASET = ds
+        nc = num_classes_for(ds)
+        task = SegTask(cfgs, nc, batch_per_device=1, iters_per_epoch=10,
+                       total_epochs=1, compute_dtype=jnp.float32)
+        assert task.model is not None, path

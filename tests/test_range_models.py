@@ -105,3 +105,66 @@ def test_range_train_eval(name):
     out = jax.jit(task.eval_step)(state, make_batch(0))
     hist = np.asarray(out["hist"], np.int64)
     assert hist.sum() == 2 * H * W
+
+    # per-point eval path (p_* arrays present): hist mass = valid points
+    b = make_batch(0)
+    nrng = np.random.default_rng(0)
+    npnt = 500
+    b["p_label"] = jnp.asarray(
+        nrng.integers(0, NUM_CLASS, (2, npnt)).astype(np.int32))
+    b["p_px"] = jnp.asarray(nrng.integers(0, W, (2, npnt)).astype(np.int32))
+    b["p_py"] = jnp.asarray(nrng.integers(0, H, (2, npnt)).astype(np.int32))
+    b["p_range"] = jnp.asarray(
+        nrng.uniform(1, 50, (2, npnt)).astype(np.float32))
+    b["p_valid"] = jnp.asarray(nrng.random((2, npnt)) < 0.8)
+    out = jax.jit(task.eval_step)(state, b)
+    hist = np.asarray(out["hist"], np.int64)
+    assert hist.sum() == int(np.asarray(b["p_valid"]).sum())
+
+
+def test_range_point_eval_knn_vs_numpy_oracle():
+    """Per-point range eval: knn_postprocess vs a brute-force numpy oracle
+    (reference range/utils.py:291-341 semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from openpcseg_tpu.ops.range_knn import knn_postprocess
+
+    rng = np.random.default_rng(0)
+    h, w, n, nc = 16, 32, 200, 6
+    proj_range = rng.uniform(1, 50, (h, w)).astype(np.float32)
+    proj_range[rng.random((h, w)) < 0.3] = 0.0  # empty pixels
+    pred = rng.integers(0, nc, (h, w)).astype(np.int32)
+    p_range = rng.uniform(1, 50, n).astype(np.float32)
+    px = rng.integers(0, w, n).astype(np.int32)
+    py = rng.integers(0, h, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+
+    k, search, cutoff = 5, 5, 1.0
+    got = np.asarray(knn_postprocess(
+        jnp.asarray(proj_range), jnp.asarray(pred), jnp.asarray(p_range),
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid),
+        num_class=nc, k=k, search=search, cutoff=cutoff))
+
+    off = search // 2
+    for i in range(n):
+        if not valid[i]:
+            assert got[i] == 0
+            continue
+        cand = []
+        for dy in range(-off, off + 1):
+            for dx in range(-off, off + 1):
+                y, x = py[i] + dy, px[i] + dx
+                if 0 <= y < h and 0 <= x < w and proj_range[y, x] > 0:
+                    cand.append((abs(proj_range[y, x] - p_range[i]),
+                                 pred[y, x]))
+        cand.sort(key=lambda t: t[0])
+        votes = np.zeros(nc)
+        for d, l in cand[:k]:
+            if d <= cutoff:
+                votes[l] += 1
+        if votes.sum() > 0:
+            best = votes.max()
+            winners = {c for c in range(nc) if votes[c] == best}
+            assert got[i] in winners, i
+        else:
+            assert got[i] == pred[py[i], px[i]], i
