@@ -61,7 +61,17 @@ def dump_predictions(trainer: Trainer, out_dir: Path) -> int:
             p = preds[i]
             if valid is not None:
                 p = p[valid[i]]
-            np.save(out_dir / f"{count:06d}.npy", p.astype(np.int32))
+            # keep the scan identity: <seq>_<frame>.npy from the scan path
+            # (reference keeps full sequence/frame names, infer.py:424-438);
+            # padded eval tails have no real scan — skip them
+            parts = str(name).replace("\\", "/").split("/")
+            if len(parts) >= 3 and parts[-1].endswith(".bin"):
+                fname = f"{parts[-3]}_{parts[-1][:-4]}.npy"
+            elif str(name) == "<pad>":
+                continue  # eval-padding sample (BatchLoader pad_last)
+            else:
+                fname = f"{count:06d}.npy"
+            np.save(out_dir / fname, p.astype(np.int32))
             count += 1
     return count
 

@@ -15,6 +15,7 @@ from .fusion_view import SemkittiFusionDataset, build_fusion_range_image  # noqa
 from .waymo import (  # noqa: F401
     WAYMO_CLASS_NAMES,
     WaymoDataset,
+    WaymoFusionDataset,
     WaymoInferDataset,
     WaymoVoxelDataset,
 )
@@ -35,7 +36,7 @@ _VIEWS = {
     ("range", "scribblekitti"): SemkittiRangeViewDataset,
     ("voxel", "waymo"): WaymoVoxelDataset,
     ("cylinder", "waymo"): WaymoVoxelDataset,
-    ("fusion", "waymo"): WaymoVoxelDataset,
+    ("fusion", "waymo"): WaymoFusionDataset,
 }
 
 
@@ -43,6 +44,20 @@ def num_classes_for(dataset: str) -> int:
     """(reference train.py:157-163)"""
     return {"nuscenes": 17, "semantickitti": 20, "scribblekitti": 20,
             "waymo": 23}[dataset]
+
+
+def dataset_meta(dataset: str):
+    """Per-dataset (class_names, cls_num_pts) for loss construction
+    (reference pcseg/loss/__init__.py:15-26 takes both; the reference never
+    wires them — here WCELoss/GroupSoftmax get the right tables per
+    dataset). cls_num_pts is None where no published table exists."""
+    from .semantickitti_meta import CLASS_NAMES, CLS_NUM_PTS
+
+    return {
+        "semantickitti": (CLASS_NAMES, CLS_NUM_PTS),
+        "scribblekitti": (CLASS_NAMES, CLS_NUM_PTS),
+        "waymo": (WAYMO_CLASS_NAMES, None),
+    }.get(dataset, (None, None))
 
 
 def build_dataloader(

@@ -26,6 +26,10 @@ def build_fusion_range_image(
     h: int = 64,
     w: int = 2048,
     rng: Optional[np.random.Generator] = None,
+    row: Optional[np.ndarray] = None,   # per-point image row override;
+                                        # default = ring id column 4
+                                        # (Waymo has no rings — its view
+                                        # passes inclination-binned rows)
 ):
     """Returns (range_image [H, W, 5], pxpy [N, 2] in [-1, 1])."""
     rng = rng or np.random.default_rng()
@@ -35,7 +39,7 @@ def build_fusion_range_image(
     yaw = yaw + (rng.random() - 0.5) * 2 * np.pi  # random azimuth cut
     yaw = yaw % (2 * np.pi) - np.pi
     proj_x = 0.5 * (yaw / np.pi + 1.0) * (w - 1)
-    proj_y = np.clip(points[:, 4], 0, h - 1)
+    proj_y = np.clip(points[:, 4] if row is None else row, 0, h - 1)
 
     ix = np.round(proj_x).astype(np.int32)
     iy = np.round(proj_y).astype(np.int32)
@@ -88,8 +92,10 @@ class SemkittiFusionDataset(SemkittiVoxelDataset):
                 rng=self.rng,
             )
 
+        row = (self._range_row(point)
+               if hasattr(self, "_range_row") else None)
         img, pxpy = build_fusion_range_image(
-            point, self.RANGE_H, self.RANGE_W, self.rng)
+            point, self.RANGE_H, self.RANGE_W, self.rng, row=row)
 
         cap = self.point_cap
         if len(point) > cap:

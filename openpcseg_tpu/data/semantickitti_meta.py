@@ -21,6 +21,37 @@ CLASS_NAMES = [
 NUM_CLASS = 20
 IGNORE_LABEL = 0
 
+# Per-learned-class point-count fractions: the published `content` table
+# from the official semantic-kitti.yaml, grouped through LEARNING_MAP
+# (same sums the reference embeds at range/utils.py:344-367, minus its
+# +1e-3 smoothing eps). Scaled to nominal counts for WCELoss's
+# 1/sqrt(freq) weighting (reference pcseg/loss/wce_loss.py:14-23).
+CLASS_CONTENT = [
+    0.0,                        # unlabeled (ignored)
+    0.040818519255974316 + 0.001789309418528068,                # car
+    0.00016609538710764618,                                     # bicycle
+    0.00039838616015114444,                                     # motorcycle
+    0.0020633612104619787 + 0.00010157861367183268,             # truck
+    2.7879693665067774e-05 + 0.0016218197275284021
+    + 0.00011351574470342043 + 4.3840131989471124e-05,          # other-veh
+    0.00017698551338515307 + 0.00016059776092534436,            # person
+    1.1065903904919655e-08 + 0.00012709999297008662,            # bicyclist
+    5.532951952459828e-09 + 3.745553104802113e-05,              # motorcyclist
+    0.1987493871255525 + 4.7084144280367186e-05,                # road
+    0.014717169549888214,                                       # parking
+    0.14392298360372,                                           # sidewalk
+    0.0039048553037472045,                                      # other-ground
+    0.1326861944777486,                                         # building
+    0.0723592229456223,                                         # fence
+    0.26681502148037506,                                        # vegetation
+    0.006035012012626033,                                       # trunk
+    0.07814222006271769,                                        # terrain
+    0.002855498193863172,                                       # pole
+    0.0006155958086189918,                                      # traffic-sign
+]
+# nominal dataset-scale counts (~4.5e9 labeled points in train split)
+CLS_NUM_PTS = [max(1, int(f * 4.5e9)) for f in CLASS_CONTENT]
+
 LEARNING_MAP = {
     0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
     31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 0,

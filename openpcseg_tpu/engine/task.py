@@ -75,6 +75,7 @@ class SegTask:
         self.cfgs = cfgs
         self.num_class = num_class
         self.axis_name = axis_name
+        self.compute_dtype = compute_dtype
         self.modality = cfgs.get("MODALITY", "voxel")
         self.is_range = self.modality == "range"
         if self.modality == "cylinder":
@@ -110,13 +111,22 @@ class SegTask:
                 ignore_index=mc.get("IGNORE_LABEL", 0),
             )
 
-        # loss dispatcher (reference minkunet.py:344-362 default config)
+        # loss dispatcher (reference minkunet.py:344-362 default config);
+        # class_names + cls_num_pts come from the active dataset so
+        # WCELoss / GroupSoftmax are usable without per-config tables
+        # (reference pcseg/loss/__init__.py:15-26 accepts both but no
+        # reference call site ever wires them)
         loss_cfg = cfgs.MODEL.get("LOSS_CONFIG", {}) or {}
+        from ..data import dataset_meta
+        ds_names, ds_num_pts = dataset_meta(
+            cfgs.get("DATA", {}).get("DATASET", "semantickitti"))
         self.losses = Losses(
             loss_types=loss_cfg.get("LOSS_TYPES", ["CELoss", "LovLoss"]),
             loss_weights=loss_cfg.get("LOSS_WEIGHTS", [1.0, 1.0]),
+            cls_num_pts=ds_num_pts,
             ignore_index=cfgs.MODEL.get("IGNORE_LABEL", 0),
             label_smoothing=cfgs.MODEL.get("LABEL_SMOOTHING", 0.0),
+            class_names=ds_names,
         )
 
         # LR linear scaling rule (reference train.py:251)

@@ -225,19 +225,29 @@ def _column_plan(offsets: np.ndarray):
 
 
 def _window_apply(feats, weights, kmap, win, plain, cdt,
-                  out_extra=None):
+                  want_blocks=False):
     """Shared fwd/bwd core of the window conv.
 
-    out_extra: optional callable(col_rows, G_col) invoked per window column
-    with the [N, 3C] masked block (used by the backward pass to form dW).
+    Emits ONE matmul per conv: the masked window blocks of every column are
+    laid out side by side as a [N, n_cols*3C (+plains)] im2col operand and
+    contracted against the matching weight stack in a single dot. The 9
+    small per-column dots of the first version were accumulator-bound (the
+    f32 [N, Cout] accumulator round-trips HBM per dot — profiled at
+    124 ms/step); the single dot reads each operand once.
+
+    want_blocks=True additionally returns (gg_all, layout) where layout is
+    [(offset_row, lane_start)] — the backward uses it to form every dW
+    block from a single [Cin, total_lanes] dot.
     """
     n, c = feats.shape
-    cout = weights.shape[-1]
     fc = feats.astype(cdt)
     wc = weights.astype(cdt)
     w3 = _window_table(fc)
 
-    out = jnp.zeros((n, cout), jnp.float32)
+    gg_parts = []
+    w_parts = []
+    layout = []
+    lane = 0
     for is_center, rows in win:
         km, k0, kp = rows
         rm, r0, rp = kmap[km], kmap[k0], kmap[kp]
@@ -264,16 +274,24 @@ def _window_apply(feats, weights, kmap, win, plain, cdt,
         g0, g1, g2 = g[:, :c], g[:, c:2 * c], g[:, 2 * c:]
         gg = jnp.concatenate(
             [g0 * a0 + g1 * a1, g1 * b1, g1 * c1 + g2 * c2], axis=1)
-        wcol = jnp.concatenate([wc[km], wc[k0], wc[kp]], axis=0)  # [3C, Cout]
-        out = out + jnp.dot(gg, wcol, preferred_element_type=jnp.float32)
-        if out_extra is not None:
-            out_extra(rows, gg)
+        gg_parts.append(gg)
+        w_parts.extend([wc[km], wc[k0], wc[kp]])
+        for i, r in enumerate(rows):
+            layout.append((r, lane + i * c))
+        lane += 3 * c
 
     for k in plain:
         g = _gather_rows(feats, kmap[k], cdt)
-        out = out + jnp.dot(g, wc[k], preferred_element_type=jnp.float32)
-        if out_extra is not None:
-            out_extra([k], g)
+        gg_parts.append(g)
+        w_parts.append(wc[k])
+        layout.append((k, lane))
+        lane += c
+
+    gg_all = jnp.concatenate(gg_parts, axis=1)
+    w_all = jnp.concatenate(w_parts, axis=0)
+    out = jnp.dot(gg_all, w_all, preferred_element_type=jnp.float32)
+    if want_blocks:
+        return out, gg_all, layout
     return out
 
 
@@ -327,21 +345,19 @@ def _window_bwd(offsets_key, compute_dtype, res, dout):
     flip = np.arange(k)[::-1].copy()
     w_t = _win_flip_weights(weights.astype(cdt), flip)  # w_t[j] = W[flip j]^T
 
-    dws: dict = {}
-
-    def grab(rows, gg):
-        # rows are original offset indices; gg is [N, len(rows)*Cout] of
-        # masked dout blocks D_row.
-        dw_blk = jax.lax.dot_general(
-            fc, gg, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Cin, len*Cout]
-        for i, r in enumerate(rows):
-            dws[int(flip[r])] = dw_blk[:, i * cout:(i + 1) * cout]
-
     win, plain = _COLUMN_PLANS[offsets_key]
-    dfeats = _window_apply(dout_c, w_t, kmap, win, plain, cdt,
-                           out_extra=grab)
+    dfeats, gg_all, layout = _window_apply(
+        dout_c, w_t, kmap, win, plain, cdt, want_blocks=True)
+
+    # every dW block from ONE [Cin, total_lanes] dot against the stacked
+    # masked dout blocks: dW[flip(o)] = feats^T @ D_o
+    dw_full = jax.lax.dot_general(
+        fc, gg_all, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dws: dict = {}
+    for r, lane in layout:
+        dws[int(flip[r])] = dw_full[:, lane:lane + cout]
 
     dw = jnp.stack([dws[i] for i in range(k)], axis=0)
     return (dfeats.astype(feats.dtype), dw.astype(weights.dtype), None)

@@ -24,6 +24,9 @@ def parse_config():
     parser.add_argument("--epochs", type=int, default=0)
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckp", type=str, default=None)
+    parser.add_argument("--pretrained_ckp", type=str, default=None,
+                        help="shape-tolerant partial init from a saved "
+                             "checkpoint (fine-tune workflows)")
     parser.add_argument("--log_dir", type=str, default="logs")
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--seed", type=int, default=42)
@@ -34,6 +37,9 @@ def parse_config():
     parser.add_argument("--ckp_save_interval", type=int, default=1)
     parser.add_argument("--max_ckp_save_num", type=int, default=5)
     parser.add_argument("--log_interval", type=int, default=50)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of training steps "
+                             "here (viewable in TensorBoard/xprof)")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,
                         default=None, help="dotted-key config overrides")
     args = parser.parse_args()
