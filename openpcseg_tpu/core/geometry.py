@@ -23,12 +23,26 @@ from ..ops.kmap import (
     build_subm_kmap,
     build_up_kmap,
 )
-from ..ops.voxelize import devoxelize_indices_weights
+from ..ops.voxelize import (devox_transpose_bounds,
+                            devoxelize_indices_weights)
 from .tensor import DevoxTable, PointBuffer, SparseLevel, VoxelPyramid
 
 
 def _stride3(stride) -> tuple:
     return (stride,) * 3 if isinstance(stride, int) else tuple(stride)
+
+
+def _devox_scatterfree() -> bool:
+    """Opt-in: prefix-sum devoxelize transpose instead of scatter-add.
+
+    Measured on v5e (bench.py, MinkUNet mk34): scatter-add backward 346
+    ms/step vs cumsum transpose 395 ms/step — the [8N, C] float32 prefix
+    sum's HBM traffic exceeds the scatter at the classifier's C>=96
+    devox levels, so scatter-add stays the default. The machinery (and its
+    exactness test, tests/test_voxelize.py) is kept for small-C fusion
+    branches and future pallas fusion of the multiply into the scan."""
+    import os
+    return os.environ.get("OPENPCSEG_DEVOX_SCATTERFREE", "0") == "1"
 
 
 def _corner_table(lvl: SparseLevel) -> jax.Array:
@@ -256,13 +270,23 @@ def build_pyramid(
                             ct[:, jnp.maximum(anc, 0)], -1)
             w = _devox_weights(point_coords, point_valid,
                                _stride3(levels[l].stride), idx)
-            devox[l] = DevoxTable(idx=idx, weights=w)
+            if _devox_scatterfree():
+                lo, hi = devox_transpose_bounds(idx, caps[l])
+                devox[l] = DevoxTable(idx=idx, weights=w, lo=lo, hi=hi)
+            else:
+                devox[l] = DevoxTable(idx=idx, weights=w)
             continue
         idx, w = devoxelize_indices_weights(
             point_coords, point_batch, point_valid,
             levels[l].keys, stride=_stride3(levels[l].stride),
         )
-        devox[l] = DevoxTable(idx=idx, weights=w)
+        if points_are_level0 and _devox_scatterfree():
+            # sorted level-0 points -> idx rows monotone -> the backward can
+            # use the scatter-free prefix-sum transpose
+            lo, hi = devox_transpose_bounds(idx, caps[l])
+            devox[l] = DevoxTable(idx=idx, weights=w, lo=lo, hi=hi)
+        else:
+            devox[l] = DevoxTable(idx=idx, weights=w)
 
     p2v: Dict[int, jax.Array] = {}
     for l in p2v_levels:

@@ -77,13 +77,19 @@ class DevoxTable:
 
     idx: jax.Array      # [8, n] int32 into the level's rows (-1 miss)
     weights: jax.Array  # [8, n] float32
+    # transpose run bounds (ops.voxelize.devox_transpose_bounds) for the
+    # scatter-free backward; only valid when the points are the sorted
+    # level-0 sites (idx rows monotone) — None falls back to autodiff
+    lo: Optional[jax.Array] = None   # [8, V]
+    hi: Optional[jax.Array] = None   # [8, V]
     identity: bool = struct.field(pytree_node=False, default=False)
 
     def apply(self, voxel_feats: jax.Array) -> jax.Array:
         if self.identity:
             return voxel_feats
         from ..ops.voxelize import devoxelize_trilinear
-        return devoxelize_trilinear(voxel_feats, self.idx, self.weights)
+        return devoxelize_trilinear(voxel_feats, self.idx, self.weights,
+                                    lo=self.lo, hi=self.hi)
 
 
 @struct.dataclass

@@ -30,13 +30,25 @@ from ..ops.sparse_conv import (
     window_subm_conv,
 )
 
-# submanifold conv implementation: "window" (z-column window gathers, the
-# fast path — see ops/sparse_conv.py) or "gather" (reference 26-row-gather
-# formulation, kept as the parity oracle). Override via env
-# OPENPCSEG_CONV_IMPL for A/B benchmarking.
+# submanifold conv implementation:
+#   "pallas"  — soft-one-hot MXU window conv kernel (ops/pallas_conv.py),
+#               TPU only; the default on TPU backends
+#   "window"  — XLA z-column window-gather conv (ops/sparse_conv.py)
+#   "gather"  — reference 26-row-gather formulation (parity oracle)
+# Override via env OPENPCSEG_CONV_IMPL for A/B benchmarking.
 import os as _os
 
-CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "window")
+CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "auto")
+
+
+def _resolve_conv_impl() -> str:
+    global CONV_IMPL
+    if CONV_IMPL == "auto":
+        # pallas kernel is parity-exact but not yet faster than the XLA
+        # window conv at every level; flip the auto default once it wins
+        # end-to-end (set OPENPCSEG_CONV_IMPL=pallas to A/B it)
+        CONV_IMPL = "window"
+    return CONV_IMPL
 
 
 def _num_offsets(kernel_size) -> int:
@@ -87,11 +99,18 @@ class SparseConv(nn.Module):
             # (kmap_t None => offset-symmetric same-coordinate-set conv);
             # a strided k=3 conv has an all-odd kernel but no identity row
             center = k // 2 if (all_odd and kmap_t is None) else None
-            if (CONV_IMPL == "window" and self.one_hot_kmap and k == 8
-                    and kmap_t is not None):
+            impl = _resolve_conv_impl()
+            if (impl in ("window", "pallas") and self.one_hot_kmap
+                    and k == 8 and kmap_t is not None):
                 out = sparse_conv_up2(feats, w, kmap, out_valid, kmap_t,
                                       compute_dtype=self.compute_dtype)
-            elif (CONV_IMPL == "window" and all_odd and kmap_t is None
+            elif (impl == "pallas" and ks == 3 and kmap_t is None
+                    and kmap.shape[1] == feats.shape[0]):
+                from ..ops.pallas_conv import pallas_window_subm_conv
+                out = pallas_window_subm_conv(
+                    feats, w, kmap, out_valid, kernel_offsets(ks),
+                    compute_dtype=self.compute_dtype)
+            elif (impl in ("window", "pallas") and all_odd and kmap_t is None
                     and kmap.shape[1] == feats.shape[0]):
                 out = window_subm_conv(
                     feats, w, kmap, out_valid, kernel_offsets(ks),

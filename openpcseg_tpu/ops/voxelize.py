@@ -92,13 +92,7 @@ def devoxelize_indices_weights(
     return idx, w
 
 
-def devoxelize_trilinear(
-    voxel_feats: jax.Array,  # [V, C]
-    idx: jax.Array,          # [8, N] int32, -1 = miss
-    weights: jax.Array,      # [8, N]
-) -> jax.Array:
-    """Gather-interpolate voxel features to points (reference
-    devoxelize_cuda.cu:11-33). Returns [N, C]."""
+def _devox_apply(voxel_feats, idx, weights):
     safe = jnp.maximum(idx, 0)
     out = None
     for k in range(8):
@@ -106,6 +100,83 @@ def devoxelize_trilinear(
         contrib = g * weights[k][:, None].astype(voxel_feats.dtype)
         out = contrib if out is None else out + contrib
     return out
+
+
+def devox_transpose_bounds(idx: jax.Array, num_voxels: int):
+    """Per-(corner, voxel) first/last contributor rows for the scatter-free
+    devoxelize backward.
+
+    Point rows are sorted by packed keys and each corner's voxel key is the
+    point key plus a constant offset, so idx[k] is MONOTONE over hit points
+    — every voxel's contributors per corner form one contiguous row run
+    (miss rows inside a run carry zero weight). Returns (lo, hi) [8, V]
+    int32; empty -> lo = N, hi = -1.
+    """
+    from .segment import _route
+
+    k8, n = idx.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k8, n))
+    # one segment op over 8*(V+1) buckets: corner k voxel v -> k*(V+1)+v
+    seg = (_route(idx, num_voxels)
+           + jnp.arange(k8, dtype=jnp.int32)[:, None] * (num_voxels + 1))
+    lo = jax.ops.segment_min(iota.reshape(-1), seg.reshape(-1),
+                             num_segments=k8 * (num_voxels + 1))
+    hi = jax.ops.segment_max(iota.reshape(-1), seg.reshape(-1),
+                             num_segments=k8 * (num_voxels + 1))
+    lo = jnp.minimum(lo, n).reshape(k8, num_voxels + 1)[:, :num_voxels]
+    hi = jnp.maximum(hi, -1).reshape(k8, num_voxels + 1)[:, :num_voxels]
+    return lo, hi
+
+
+@jax.custom_vjp
+def _devox_core(voxel_feats, idx, weights, lo, hi):
+    return _devox_apply(voxel_feats, idx, weights)
+
+
+def _devox_fwd(voxel_feats, idx, weights, lo, hi):
+    proto = jnp.zeros((), voxel_feats.dtype)  # dtype carrier (a leaf)
+    return _devox_apply(voxel_feats, idx, weights), (
+        idx, weights, lo, hi, proto)
+
+
+def _devox_bwd(res, dout):
+    """Scatter-free transpose: dvox[v] += sum over the contiguous run of
+    contributors — a prefix sum of dout*w gathered at the run bounds
+    (replaces autodiff's 8 scatter-adds, profiled at 20 ms/step)."""
+    idx, weights, lo, hi, proto = res
+    v = lo.shape[1]
+    k8, n = idx.shape
+    c = dout.shape[1]
+    d32 = dout.astype(jnp.float32)
+    # zs[k*N + p] = dout[p] * w[k, p]  (weights are zero on misses)
+    zs = (d32[None, :, :] * weights[:, :, None].astype(jnp.float32)
+          ).reshape(k8 * n, c)
+    csz = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(zs, axis=0)], axis=0)
+    offs = (jnp.arange(k8, dtype=jnp.int32) * n)[:, None]
+    top = csz[(jnp.minimum(hi, n - 1) + offs + 1).reshape(-1)]
+    bot = csz[(jnp.maximum(lo, 0) + offs).reshape(-1)]
+    dvox = (top - bot).reshape(k8, v, c)
+    dvox = jnp.where((hi >= 0)[..., None], dvox, 0.0).sum(axis=0)
+    return (dvox.astype(proto.dtype), None, None, None, None)
+
+
+_devox_core.defvjp(_devox_fwd, _devox_bwd)
+
+
+def devoxelize_trilinear(
+    voxel_feats: jax.Array,  # [V, C]
+    idx: jax.Array,          # [8, N] int32, -1 = miss
+    weights: jax.Array,      # [8, N]
+    lo: jax.Array = None,    # [8, V] transpose run bounds (see
+    hi: jax.Array = None,    # devox_transpose_bounds); None -> autodiff bwd
+) -> jax.Array:
+    """Gather-interpolate voxel features to points (reference
+    devoxelize_cuda.cu:11-33). Returns [N, C]. With (lo, hi) bounds the
+    backward is the scatter-free prefix-sum transpose."""
+    if lo is not None and hi is not None:
+        return _devox_core(voxel_feats, idx, weights, lo, hi)
+    return _devox_apply(voxel_feats, idx, weights)
 
 
 def voxel_to_point_nearest(

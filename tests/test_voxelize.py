@@ -153,3 +153,58 @@ class TestSharedCornerDevox:
             np.testing.assert_allclose(
                 np.asarray(pyr.devox[l].weights), np.asarray(w_ref),
                 rtol=1e-6, err_msg=f"level {l} weights")
+
+
+class TestDevoxTransposeBounds:
+    def test_scatterfree_vjp_matches_autodiff(self, rng):
+        # monotone idx rows (sorted point keys + constant corner offsets)
+        import jax
+        import jax.numpy as jnp
+        from openpcseg_tpu.ops.voxelize import (
+            devox_transpose_bounds, devoxelize_trilinear)
+
+        n, v, c = 300, 64, 10
+        idx = np.full((8, n), -1, np.int32)
+        for k in range(8):
+            hits = rng.random(n) > 0.25
+            vals = np.sort(rng.integers(0, v, hits.sum()))
+            idx[k, np.where(hits)[0]] = vals
+        w = rng.random((8, n)).astype(np.float32)
+        w[idx < 0] = 0.0
+        vox = rng.normal(size=(v, c)).astype(np.float32)
+        dout_seed = rng.normal(size=(n, c)).astype(np.float32)
+
+        idx_j, w_j = jnp.asarray(idx), jnp.asarray(w)
+        lo, hi = devox_transpose_bounds(idx_j, v)
+
+        def loss_auto(x):
+            return jnp.sum(devoxelize_trilinear(x, idx_j, w_j)
+                           * jnp.asarray(dout_seed))
+
+        def loss_fast(x):
+            return jnp.sum(devoxelize_trilinear(x, idx_j, w_j, lo=lo, hi=hi)
+                           * jnp.asarray(dout_seed))
+
+        ga = jax.grad(loss_auto)(jnp.asarray(vox))
+        gf = jax.grad(loss_fast)(jnp.asarray(vox))
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(ga),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_forward_unchanged(self, rng):
+        import jax.numpy as jnp
+        from openpcseg_tpu.ops.voxelize import (
+            devox_transpose_bounds, devoxelize_trilinear)
+        n, v, c = 100, 32, 6
+        idx = np.full((8, n), -1, np.int32)
+        for k in range(8):
+            hits = rng.random(n) > 0.3
+            idx[k, np.where(hits)[0]] = np.sort(
+                rng.integers(0, v, hits.sum()))
+        w = rng.random((8, n)).astype(np.float32)
+        w[idx < 0] = 0.0
+        vox = jnp.asarray(rng.normal(size=(v, c)).astype(np.float32))
+        lo, hi = devox_transpose_bounds(jnp.asarray(idx), v)
+        a = devoxelize_trilinear(vox, jnp.asarray(idx), jnp.asarray(w))
+        b = devoxelize_trilinear(vox, jnp.asarray(idx), jnp.asarray(w),
+                                 lo=lo, hi=hi)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
