@@ -120,17 +120,33 @@ def range_union(scan, label, mask, scan_b, label_b, mask_b):
     return scan, label, mask
 
 
+# MixTeacher 'mixtureV2' strategy pool as (n_cols, n_rows) — the
+# reference's 17 colNrowM methods (semantickitti_rv.py:387-469) are each
+# an alternating checkerboard over N column x M row bands; the strategy
+# set below reproduces the pool verbatim
+MIXTEACHER_V2_STRATEGIES = [
+    (1, 3), (1, 4), (1, 5), (1, 6),
+    (2, 3), (2, 4), (2, 5), (2, 6),
+    (3, 3), (3, 4), (3, 5), (3, 6),
+    (4, 3), (4, 4), (4, 5), (4, 6),
+    (6, 4),
+]
+
+
 def range_mix(scan, label, mask, scan_b, label_b, mask_b,
               rng: np.random.Generator):
-    """Alternating row/col-band mix of two range images (MixTeacher
-    'mixtureV2' re-derivation: random strategy over row splits {2,3,4,5,6}
-    x col splits {1,2}, alternating source A/B per cell)."""
+    """Alternating band mix of two range images: exact MixTeacher
+    'mixtureV2' semantics (semantickitti_rv.py:360-1621) — each colNrowM
+    strategy is the checkerboard with that many column/row bands, and the
+    reference's mix1/mix2 pair pick (:170-175) is the complement flip."""
     h, w = label.shape
-    n_rows = int(rng.choice([2, 3, 4, 5, 6]))
-    n_cols = int(rng.choice([1, 2]))
+    n_cols, n_rows = MIXTEACHER_V2_STRATEGIES[
+        int(rng.integers(len(MIXTEACHER_V2_STRATEGIES)))]
     row_id = (np.arange(h)[:, None] * n_rows // h)
     col_id = (np.arange(w)[None, :] * n_cols // w)
     take_b = ((row_id + col_id) % 2).astype(bool)
+    if rng.random() < 0.5:          # mix2 = complement of mix1
+        take_b = ~take_b
     take_b = np.broadcast_to(take_b, (h, w))
     scan_m = np.where(take_b[..., None], scan_b, scan)
     label_m = np.where(take_b, label_b, label)
