@@ -176,7 +176,8 @@ class WaymoFusionDataset:
 
         class _View(SemkittiFusionDataset):
             FEAT_DIM = 5
-            RANGE_W = 2650  # ~Waymo azimuth resolution
+            RANGE_W = 2656  # ~Waymo azimuth resolution, rounded up to a
+                            # multiple of 32 for the range branch strides
 
             def _make_source(self, data_cfgs, training, root_path, seed):
                 if data_cfgs.get("USE_INFER_DATA", False):
