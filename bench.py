@@ -47,11 +47,15 @@ def mk_cfgs(voxel_cap: int):
 def main():
     from openpcseg_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    import os
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         # batch 1 measured fastest per scan on v5e (532 ms/step vs 1217 at
-        # batch 2 for two scans): smaller tables gather faster
+        # batch 2 for two scans): smaller tables gather faster.
+        # BENCH_BATCH overrides for batch-size sweeps.
         batch, n_pts, voxel_cap, iters = 1, 131072, 98304, 60
+        batch = int(os.environ.get("BENCH_BATCH", batch))
+        iters = max(iters // batch, 10)
     else:  # CPU fallback so the harness always reports something
         batch, n_pts, voxel_cap, iters = 1, 8192, 8192, 3
 

@@ -377,6 +377,29 @@ class SegTask:
             batch["scan"], train=False,
         )
         logits = out[0] if isinstance(out, tuple) else out
+
+        # optional locally-connected CRF refinement (RangeNet++ postproc;
+        # the reference ships it wired-off, rangenet.py:49-55 — here it is
+        # a working MODEL.POST_CRF switch: {ITER, LCN_H, LCN_W, XYZ_COEF,
+        # XYZ_SIGMA})
+        crf_cfg = self.cfgs.MODEL.get("POST_CRF", None)
+        if crf_cfg:
+            from ..ops.range_postproc import crf_refine
+            kw = crf_cfg if isinstance(crf_cfg, dict) else {}
+            scale = jnp.asarray([50.0, 50.0, 3.0], jnp.float32)
+            xyz = batch["scan"][..., :3] * scale
+            mask = batch["scan"][..., 5] > 0.5
+            sm = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            sm = crf_refine(
+                xyz, sm, mask,
+                iters=int(kw.get("ITER", 3)),
+                lcn_h=int(kw.get("LCN_H", 3)),
+                lcn_w=int(kw.get("LCN_W", 5)),
+                xyz_coef=float(kw.get("XYZ_COEF", 0.1)),
+                xyz_sigma=float(kw.get("XYZ_SIGMA", 0.7)),
+            )
+            logits = jnp.log(jnp.maximum(sm, 1e-12))
+
         pred_img = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, H, W]
 
         if "p_label" in batch:

@@ -202,7 +202,7 @@ def _slot_gathers(loc_abs, bits, start, window):
 
 
 def _fwd_kernel(ncols, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
-                feats_ref, w_ref, o_ref, acc_ref):
+                feats_ref, w_ref, o_ref, acc_ref, oh_ref):
     """Grid (nb,): one BLK-row output block per step.
 
     starts [ncols, nb, NW] + wcnt [ncols, nb] in SMEM; base/bits
@@ -218,15 +218,26 @@ def _fwd_kernel(ncols, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
 
         def body(wnd, _, j=j, loc_abs=loc_abs, bits=bits):
             # dynamic trip count (mean ~1.1 windows) keeps the kernel MLIR
-            # small — an NW-unrolled predicated loop compiles ~8x slower
+            # small — an NW-unrolled predicated loop compiles ~8x slower.
+            # The three slot one-hots are assembled into ONE [3*BLK, WIN]
+            # scratch so the gather is a single M-batched MXU dot (small
+            # per-slot dots ran at ~15 TF/s; M-batching tiles across MXUs).
             start = pl.multiple_of(starts_ref[j, b, wnd], 8)
             window = feats_ref[pl.ds(start, WIN), :]      # [WIN, C]
-            gm, g0, gp = _slot_gathers(loc_abs, bits, start, window)
-            acc_ref[:] += jnp.dot(gm, w_ref[3 * j],
+            cdt = window.dtype
+            locm, loc0, locp = _slot_locs(loc_abs, bits, start)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+            oh_ref[0:BLK, :] = (iota == locm[:, None]).astype(cdt)
+            oh_ref[BLK:2 * BLK, :] = (iota == loc0[:, None]).astype(cdt)
+            oh_ref[2 * BLK:3 * BLK, :] = (iota == locp[:, None]).astype(cdt)
+            g = jnp.dot(oh_ref[:], window,
+                        preferred_element_type=f32)       # [3*BLK, C]
+            gc = g.astype(cdt)
+            acc_ref[:] += jnp.dot(gc[0:BLK], w_ref[3 * j],
                                   preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(g0, w_ref[3 * j + 1],
+            acc_ref[:] += jnp.dot(gc[BLK:2 * BLK], w_ref[3 * j + 1],
                                   preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(gp, w_ref[3 * j + 2],
+            acc_ref[:] += jnp.dot(gc[2 * BLK:3 * BLK], w_ref[3 * j + 2],
                                   preferred_element_type=f32)
             return 0
 
@@ -252,7 +263,8 @@ def _run_fwd(feats_p, w_cols, plan):
             pl.BlockSpec(memory_space=pltpu.VMEM),   # weights whole
         ],
         out_specs=pl.BlockSpec((BLK, cout), lambda b, s, w: (b, 0)),
-        scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32),
+                        pltpu.VMEM((3 * BLK, WIN), feats_p.dtype)],
     )
     return pl.pallas_call(
         kern,
