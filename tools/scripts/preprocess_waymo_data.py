@@ -6,9 +6,12 @@ frame and each of the two lidar returns, writes an [N, 7] array of
 [range, intensity, elongation, x, y, z, label] rows to
 <out>/first/<seq>_<frame>.npy and <out>/second/..., then emits split lists.
 
-Requires the optional `waymo-open-dataset` + tensorflow packages (not baked
-into this image); the runtime data path consumes the .npy layout directly
-(openpcseg_tpu/data/waymo.py).
+The proto parsing requires the optional `waymo-open-dataset` + tensorflow
+packages (not baked into this image); the range-image -> point-cloud
+GEOMETRY is self-contained (openpcseg_tpu/data/waymo_conversion.py,
+round-trip tested) and used when the waymo package's range_image_utils is
+unavailable or --native_conversion is set. The runtime data path consumes
+the .npy layout directly (openpcseg_tpu/data/waymo.py).
 """
 from __future__ import annotations
 
@@ -31,11 +34,32 @@ def convert_range_image_to_points(frame, parsed):
      ) = frame_utils.parse_range_image_and_camera_projection(frame)
     out = []
     for ri_index in (0, 1):
-        points, cp_points = frame_utils.convert_range_image_to_point_cloud(
-            frame, range_images, camera_projections, range_image_top_pose,
-            ri_index=ri_index, keep_polar_features=True)
-        # points[0] = TOP lidar: [range, intensity, elongation, x, y, z]
-        top = points[0]
+        try:
+            points, _cp = frame_utils.convert_range_image_to_point_cloud(
+                frame, range_images, camera_projections,
+                range_image_top_pose, ri_index=ri_index,
+                keep_polar_features=True)
+            # points[0] = TOP lidar: [range, int, elong, x, y, z]
+            top = points[0]
+        except Exception:
+            # self-contained geometry fallback (same math, numpy):
+            # openpcseg_tpu/data/waymo_conversion.py
+            import tensorflow as tf
+            from openpcseg_tpu.data.waymo_conversion import (
+                compute_inclinations, range_image_to_points)
+            c = sorted(frame.context.laser_calibrations,
+                       key=lambda x: x.name)[0]  # TOP
+            ri = range_images[1][ri_index]
+            rit = tf.reshape(tf.convert_to_tensor(ri.data),
+                             ri.shape.dims).numpy()
+            if len(c.beam_inclinations):
+                incl = np.asarray(c.beam_inclinations)[::-1]
+            else:
+                incl = compute_inclinations(
+                    c.beam_inclination_min, c.beam_inclination_max,
+                    rit.shape[0])[::-1]
+            ext = np.reshape(np.asarray(c.extrinsic.transform), (4, 4))
+            top, _ = range_image_to_points(rit, ext, incl)
         n = len(top)
         labels = np.zeros((n, 1), np.int32)
         if seg_labels:
