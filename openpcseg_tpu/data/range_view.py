@@ -9,9 +9,14 @@ Re-implementations of the reference range pipeline:
 - RangeShift: random azimuth column roll (semantickitti_rv.py:304-320)
 - RangePaste: copy rare-class pixels from a second scan (:210-260)
 - RangeUnion: fill empty pixels from a second scan (:197-207)
-- RangeMix: alternating grid mix of two scans — re-derivation of the
-  MixTeacher col/row strategies (:360-1621, 'mixtureV2') as a parameterized
-  checkerboard over {2,3,4,5} row x {1,2} col splits.
+- RangeMix: alternating grid mix of two scans — exact MixTeacher
+  'mixtureV2' semantics (:360-1621): the 17 colNrowM checkerboard
+  strategies plus the mix1/mix2 complement pick.
+
+Test-time augmentation: the reference defines TTA only for the voxel/
+cylinder/fusion views (collate_batch_tta); its range pipeline has none, so
+none is implemented here either (the per-point KNN post-processing is the
+range pipeline's accuracy lever instead).
 """
 from __future__ import annotations
 
