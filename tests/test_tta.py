@@ -1,0 +1,74 @@
+"""Batched TTA voting: probabilities from one batched forward over the
+votes equal the per-vote forwards, and vote-averaging is order-invariant
+(the basis for trainer.evaluate_tta's single-forward-per-scan design,
+reference collate_batch_tta + return_tta minkunet.py:445-446).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpcseg_tpu.config import CfgDict
+from openpcseg_tpu.data import synthetic_batch
+from openpcseg_tpu.engine import SegTask
+
+NUM_CLASS = 20
+
+
+def tiny_cfgs(batch):
+    return CfgDict({
+        "DATA": {"DATASET": "semantickitti", "VOXEL_SIZE": 0.2},
+        "MODEL": {
+            "NAME": "MinkUNet", "IGNORE_LABEL": 0, "IN_FEATURE_DIM": 4,
+            "BLOCK": "ResBlock", "NUM_LAYER": [1, 1, 1, 1, 1, 1, 1, 1],
+            "PLANES": [8, 8, 16, 16, 16, 16, 16, 8, 8], "cr": 1.0,
+            "DROPOUT_P": 0.0, "LABEL_SMOOTHING": 0.0,
+        },
+        "OPTIM": {
+            "BATCH_SIZE_PER_GPU": batch, "NUM_EPOCHS": 1,
+            "OPTIMIZER": "adam", "LR_PER_SAMPLE": 0.002,
+            "WEIGHT_DECAY": 0.0,
+            "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
+        },
+        "TPU": {"VOXEL_CAP_PER_SCAN": 4096,
+                "VOXEL_CAP_RATIOS": [1.0, 1.0, 1.0, 1.0, 1.0]},
+    })
+
+
+def test_batched_votes_match_sequential():
+    n_votes, n_pts = 3, 1500
+    # votes: same scan with tiny coordinate jitter (deterministic)
+    base = synthetic_batch(0, 1, n_points=n_pts, num_class=NUM_CLASS)
+    votes = []
+    for v in range(n_votes):
+        b = {k: np.copy(val) for k, val in base.items()}
+        rot = 0.02 * v
+        c, s = np.cos(rot), np.sin(rot)
+        xy = b["xyz"][0, :, :2] @ np.array([[c, -s], [s, c]], np.float32)
+        b["xyz"][0, :, :2] = xy
+        b["feats"][0, :, :2] = xy
+        votes.append(b)
+
+    # batched task over the votes; the params come from a batch-1 task
+    t1 = SegTask(tiny_cfgs(1), NUM_CLASS, batch_per_device=1,
+                 iters_per_epoch=5, total_epochs=1)
+    tb = SegTask(tiny_cfgs(n_votes), NUM_CLASS, batch_per_device=n_votes,
+                 iters_per_epoch=5, total_epochs=1)
+    rng = jax.random.PRNGKey(0)
+    b1 = {k: jnp.asarray(v) for k, v in votes[0].items()}
+    state = t1.init_state(rng, b1)
+
+    seq = []
+    p1 = jax.jit(t1.predict_probs_step)
+    for v in votes:
+        db = {k: jnp.asarray(val) for k, val in v.items()}
+        seq.append(np.asarray(p1(state, db))[0])
+    seq_mean = np.mean(seq, axis=0)
+
+    stacked = {k: jnp.asarray(np.concatenate([v[k] for v in votes], axis=0))
+               for k in votes[0]}
+    probs = np.asarray(jax.jit(tb.predict_probs_step)(state, stacked))
+    np.testing.assert_allclose(probs.mean(axis=0), seq_mean,
+                               rtol=1e-4, atol=1e-5)
+    # and each batched vote matches its sequential counterpart
+    for v in range(n_votes):
+        np.testing.assert_allclose(probs[v], seq[v], rtol=1e-4, atol=1e-5)
