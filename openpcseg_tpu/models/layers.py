@@ -44,10 +44,13 @@ CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "auto")
 def _resolve_conv_impl() -> str:
     global CONV_IMPL
     if CONV_IMPL == "auto":
-        # pallas kernel is parity-exact but not yet faster than the XLA
-        # window conv at every level; flip the auto default once it wins
-        # end-to-end (set OPENPCSEG_CONV_IMPL=pallas to A/B it)
-        CONV_IMPL = "window"
+        # the v3 pallas window kernel (ops/pallas_conv.py: HBM w3 windows +
+        # single one-hot per column + fused backward) wins end-to-end on
+        # TPU: 4.23 vs 2.89 scans/s/chip on bench.py (round 3). CPU/interp
+        # runs and tiny-Cin convs keep the XLA window conv.
+        import jax
+        CONV_IMPL = ("pallas" if jax.devices()[0].platform not in
+                     ("cpu",) else "window")
     return CONV_IMPL
 
 
@@ -105,7 +108,10 @@ class SparseConv(nn.Module):
                 out = sparse_conv_up2(feats, w, kmap, out_valid, kmap_t,
                                       compute_dtype=self.compute_dtype)
             elif (impl == "pallas" and ks == 3 and kmap_t is None
-                    and kmap.shape[1] == feats.shape[0]):
+                    and kmap.shape[1] == feats.shape[0]
+                    # tiny-Cin convs (the 4-channel stem entry) stay on the
+                    # XLA path: sub-8-lane slot slices aren't worth a kernel
+                    and cin >= 16):
                 from ..ops.pallas_conv import pallas_window_subm_conv
                 out = pallas_window_subm_conv(
                     feats, w, kmap, out_valid, kernel_offsets(ks),

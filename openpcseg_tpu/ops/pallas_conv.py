@@ -1,38 +1,38 @@
-"""Pallas TPU kernel for the z-window submanifold sparse conv.
+"""Pallas TPU kernel for the z-window submanifold sparse conv (v3).
 
 Replaces the XLA im2col window conv (sparse_conv.py `_window_apply`) whose
-row gathers realize only a few GB/s of HBM bandwidth (BASELINE.md,
-tools/perf traces: the conv path is 224 of 360 ms/step). The kernel keeps
-the whole feature table resident in VMEM and performs the window gathers as
-*soft one-hot matmuls on the MXU* — no HBM gathers at all.
-
-Structure (reference hot loop this replaces: torchsparse
-backend/convolution/convolution_cuda.cu:14-80 gather-GEMM-scatter):
+row gathers realize only a few GB/s of HBM bandwidth (BASELINE.md; the conv
+path was 224 of 346 ms/step at round 2). Structure (reference hot loop this
+replaces: torchsparse backend/convolution/convolution_cuda.cu:14-80
+gather-GEMM-scatter):
 
 - rows are sorted by packed (b,x,y,z) keys, so for each kernel column
   (dx,dy) the per-output "base" neighbor row index is MONOTONE in the
-  output row (adding a constant (dx,dy) preserves lexicographic key order);
-- for a block of `blk` consecutive outputs, the bases therefore form 1-2
-  contiguous clusters (2 when the block straddles an x/y slab boundary):
-  two disjoint VMEM windows of `win` rows cover them exactly;
-- gathering window rows to outputs is a [win, blk] one-hot (iota == local
-  index) contracted with the [win, C] window on the MXU; the five window
-  masks (sparse_conv.py window-column derivation) fold INTO the one-hot
-  (they broadcast along the lane dim for free), so each column costs three
-  soft-one-hot dots (z-1, z, z+1 slots) plus three small weight dots into a
-  float32 VMEM accumulator. Zero scatters, zero HBM row gathers, one HBM
-  read of feats, one write of out.
+  output row; for a block of `BLK` consecutive outputs the bases form 1-2
+  contiguous clusters covered exactly by a few disjoint aligned windows
+  (`build_window_plan`, mean ~1.1 windows/block);
+- the *w3 table* w3[i] = [f[i-1], f[i], f[i+1]] (built once per conv in
+  XLA, staged in HBM) makes one window row carry all three z-slots, so ONE
+  soft one-hot (iota == local base) per column-window gathers a [BLK, 3C]
+  block on the MXU — v2 of this kernel built three mask-folded one-hots
+  and dotted [3BLK, WIN] @ [WIN, C], wasting 3/4 of the MXU lanes at C=32
+  (48 tile-passes vs 16, measured tools/perf/onehot_v*_probe.py);
+- the five window-column masks (sparse_conv.py derivation) apply to the
+  *gathered* [BLK, C] slices as bf16 multiplies built from 2-D integer
+  compares (sub-128-lane VMEM *writes* are catastrophically slow — ~7 us
+  per column-window in probe v2 — so masked slices are only ever READ);
+- windows are DMA'd from the HBM w3 table per (column, window) — the whole
+  feature table never resides in VMEM, which removes round 2's recursive
+  channel splitting and its C=96 scoped-VMEM OOM.
 
-Exactness: window assignment is by value (a base matches the unique window
-containing it — windows are made disjoint); blocks whose cluster spread
-exceeds the two windows set an overflow flag and the call falls back to the
-XLA window conv via lax.cond (rare: p999 cluster spreads fit, measured on
-ray-cast scans, tools/perf/spread probes).
+Backward: dfeats is the same kernel over w3(dout) with offset-flipped
+transposed weights (symmetric kernels keep the window plan), and the SAME
+gathered dout slots feed the dW accumulation — one fused kernel, half the
+backward gather/DMA work of the round-2 two-pass backward.
 
-Backward: dfeats is the same kernel over dout with offset-flipped
-transposed weights (the window plan is identical — symmetric kernels);
-dW accumulates [K, Cin, Cout] in a VMEM scratch across grid steps in a
-second kernel pass.
+Exactness: window assignment is by value over disjoint windows; blocks
+whose cluster spread exceeds the windows set an overflow flag and the call
+falls back to the XLA window conv via lax.cond.
 """
 from __future__ import annotations
 
@@ -54,10 +54,17 @@ import os as _os
 BLK = int(_os.environ.get("OPENPCSEG_PALLAS_BLK", 512))   # rows per step
 WIN = int(_os.environ.get("OPENPCSEG_PALLAS_WIN", 512))   # window rows
 NW = int(_os.environ.get("OPENPCSEG_PALLAS_NW", 16))      # max windows
-# The dot FLOPs scale with WIN while coverage needs only the per-block
-# cluster spread (med ~500, p99 ~2700, worst ~7000 on ray-cast scans):
-# WIN=512 with generous NW wins over fewer, wider windows because the
-# fori_loop window count is dynamic (mean ~1.1) and misses are free.
+# scoped-VMEM ceiling for the fused backward: the dW accumulator
+# [3*ncols, Cin, Cout] f32 plus weights/windows exceeds the 16 MB default
+# at the decoder's 384-in/256-out level (~20 MB); v5e VMEM is larger than
+# the default scoped limit, so raise it for our kernels.
+VMEM_LIMIT = int(_os.environ.get("OPENPCSEG_PALLAS_VMEM", 32 * 2 ** 20))
+# double-buffered window prefetch (0 = serialize DMA-then-compute; debug)
+DOUBLE_BUF = _os.environ.get("OPENPCSEG_PALLAS_DB", "1") == "1"
+# The one-hot dot FLOPs scale with WIN while coverage needs only the
+# per-block cluster spread (med ~500, p99 ~2700 on ray-cast scans): WIN=512
+# with generous NW wins over fewer, wider windows because the fori_loop
+# window count is dynamic (mean ~1.1) and misses are free.
 
 
 # ------------------------------------------------------------------ plan --
@@ -69,7 +76,7 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
     Returns dict with:
       base  [ncols, Np]   int32 absolute neighbor row (clamped >= 0)
       bits  [ncols, Np]   int32 mask bitfield (a0|a1<<1|b1<<2|c1<<3|c2<<4)
-      starts[ncols, nb, 2] int32 8-aligned disjoint window starts
+      starts[ncols, nb, NW] int32 8-aligned disjoint window starts
       overflow            bool scalar — some base escaped both windows
     Np is N padded up to a BLK multiple. Depends only on the kernel map →
     one plan serves every conv at the level (and fwd + bwd share it).
@@ -112,33 +119,28 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
     bbv = jnp.where(hb, bb, big)                          # miss -> +inf
 
     # greedy interval cover with up to NW disjoint aligned windows: window
-    # w starts (8-aligned, minus 2 slack so base-1 z-slots stay inside) at
-    # the first base not covered by windows 0..w-1. Windows never overlap
-    # (each starts past the previous end), so a base matches at most one
-    # window in the kernel's equality gather -> no double counting.
+    # w starts (8-aligned) at the first base not covered by windows
+    # 0..w-1. Windows never overlap (each starts past the previous end),
+    # so a base matches at most one window in the kernel's equality gather
+    # -> no double counting. The w3 row at `base` already carries the
+    # base-1 / base+1 slot contents, so coverage of the BASES alone is
+    # exact (v2 needed base±1 in-window too).
     starts_l = []
     end = jnp.full(bbv.shape[:2], -1, jnp.int32)          # [ncols, nb]
     cnt = jnp.zeros(bbv.shape[:2], jnp.int32)
     for _w in range(NW):
         nxt = jnp.min(jnp.where(bbv > end[..., None], bbv, big), axis=2)
         has = nxt < big
-        s = jnp.maximum(((nxt - 2) // 8) * 8, 0)
+        s = jnp.maximum((nxt // 8) * 8, 0)
         s = jnp.maximum(s, end + 1)                        # disjoint
         s = jnp.where(has, s, end + 1 + WIN)               # park empties
         starts_l.append(s)
         end = s + WIN - 1
         cnt = cnt + has.astype(jnp.int32)
     starts = jnp.stack(starts_l, axis=-1).astype(jnp.int32)  # [ncols,nb,NW]
-
-    # exactness: each needed row — base-1 when the a0 slot is live, base
-    # when a1/b1/c1, base+1 when c2 — must fall inside SOME window (slots
-    # match by equality in whichever disjoint window holds their row, so
-    # coverage by the union is sufficient; a slot row in a neighbouring
-    # window is matched by that window's pass).
-    bits3 = bits.reshape(len(win_cols), nb, BLK)
-    m_a0 = (bits3 & 1) != 0
-    m_mid = (bits3 & 0b01110) != 0
-    m_c2 = ((bits3 >> 4) & 1) != 0
+    # parked (unused) slots chain past the data; clamp so even a spurious
+    # prefetch DMA stays inside the staged [n_pad + WIN] rows
+    starts = jnp.clip(starts, 0, np_pad)
 
     def in_any(r):
         cov = jnp.zeros(r.shape, bool)
@@ -147,10 +149,7 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
             cov = cov | ((r >= s) & (r < s + WIN))
         return cov
 
-    overflow = jnp.any(
-        hb & ((m_a0 & ~in_any(bb - 1))
-              | (m_mid & ~in_any(bb))
-              | (m_c2 & ~in_any(bb + 1))))
+    overflow = jnp.any(hb & ~in_any(bb))
     return dict(base=base, bits=bits, starts=starts, wcnt=cnt,
                 overflow=overflow, n_pad=np_pad, ncols=len(win_cols))
 
@@ -158,131 +157,157 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
 # ---------------------------------------------------------------- kernels --
 
 
-def _slot_locs(loc_abs, bits, start):
-    """Per-slot masked local indices: the five window masks FOLD INTO the
-    gather index (masked-off -> -1, which no iota row equals), so each slot
-    needs exactly one equality compare and zero mask multiplies — the
-    elementwise one-hot construction is the kernel's VPU bottleneck.
+def _masked_slots(g, bits, c, cdt):
+    """Apply the five window-column masks to the gathered [BLK, 3C] block.
 
-    slot_m gathers row base-1 when a0 else base when a1; slot_0 gathers
-    base when b1; slot_p gathers base when c1 else base+1 when c2
-    (sparse_conv.py window-column mask derivation)."""
-    loc = loc_abs - start
-    a0 = (bits & 1) != 0
-    a1 = ((bits >> 1) & 1) != 0
-    b1 = ((bits >> 2) & 1) != 0
-    c1 = ((bits >> 3) & 1) != 0
-    c2 = ((bits >> 4) & 1) != 0
-    neg = jnp.int32(-1)
-    locm = jnp.where(a0, loc - 1, jnp.where(a1, loc, neg))
-    loc0 = jnp.where(b1, loc, neg)
-    locp = jnp.where(c1, loc, jnp.where(c2, loc + 1, neg))
-    return locm, loc0, locp
+    Masks are built as 2-D integer compares broadcast along lanes (bool ->
+    bf16 casts of 1-D vectors and sub-128-lane VMEM writes both break
+    Mosaic; 2-D compare + multiply is the production-proven pattern).
+    Returns (gm, g0, gp) [BLK, C]: the z-1 / z / z+1 slot operands.
+    """
+    bits2 = bits[:, None]                                # [BLK, 1]
+    a0 = ((bits2 & 1) > 0).astype(cdt)
+    a1 = ((bits2 & 2) > 0).astype(cdt)
+    b1 = ((bits2 & 4) > 0).astype(cdt)
+    c1 = ((bits2 & 8) > 0).astype(cdt)
+    c2 = ((bits2 & 16) > 0).astype(cdt)
+    s0, s1, s2 = g[:, 0:c], g[:, c:2 * c], g[:, 2 * c:3 * c]
+    return s0 * a0 + s1 * a1, s1 * b1, s1 * c1 + s2 * c2
 
 
-def _slot_gathers(loc_abs, bits, start, window):
-    """The three slot gathers of one (column, window) pair.
-
-    Returns (gm, g0, gp) [BLK, C]: masked one-hot MXU gathers via a single
-    [3*BLK, WIN] @ [WIN, C] dot in the MXU-NATIVE orientation — outputs on
-    sublanes, window index on lanes, so the lhs contracts over its lane dim
-    and Mosaic inserts no multi-MB operand transpose (the transposed
-    orientation measured 3x slower than XLA). Dtype follows the window
-    (bf16 on the production path; f32 for exactness tests)."""
-    f32 = jnp.float32
-    cdt = window.dtype
-    locm, loc0, locp = _slot_locs(loc_abs, bits, start)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
-
-    def g_of(loc):
-        oh = (iota == loc[:, None]).astype(cdt)        # [BLK, WIN]
-        return jnp.dot(oh, window, preferred_element_type=f32).astype(cdt)
-
-    return g_of(locm), g_of(loc0), g_of(locp)
-
-
-def _fwd_kernel(ncols, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
-                feats_ref, w_ref, o_ref, acc_ref, oh_ref):
+def _fwd_kernel(ncols, c, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
+                w3_hbm, w_ref, o_ref, acc_ref, oh_ref, win_ref, sem):
     """Grid (nb,): one BLK-row output block per step.
 
-    starts [ncols, nb, NW] + wcnt [ncols, nb] in SMEM; base/bits
-    [ncols, Np] VMEM int32; feats [Np, C] VMEM; w [ncols*3, C, cout] VMEM;
-    out block [BLK, cout]. Window loops past wcnt are predicated off."""
+    starts [ncols, nb, NW] + wcnt [ncols, nb] scalar-prefetch (SMEM);
+    base/bits [ncols, BLK] VMEM blocks; w3_hbm [Np+WIN, 3C] stays in HBM —
+    windows are DMA'd per (column, window) into the double-buffered
+    win_ref [2, WIN, 3C]; w [ncols*3, C, cout] whole in VMEM.
+    """
     b = pl.program_id(0)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
+    cdt = win_ref.dtype
 
-    for j in range(ncols):
-        loc_abs = base_ref[j, :]                         # [BLK] lanes
+    def dma(slot, start):
+        return pltpu.make_async_copy(
+            w3_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
+            sem.at[slot])
+
+    # double-buffer across the flat (column, window) sequence: window w of
+    # column j prefetches (j, w+1) when it exists, else the first window
+    # of the next non-empty column (found with static-unrolled selects).
+    def next_start(j, w):
+        # start of the item after (j, w); garbage if none remains (the
+        # extra DMA is harmless — it is never waited past the last item)
+        nxt = starts_ref[j, b, 0]
+        found = jnp.zeros((), jnp.bool_)
+        for j2 in range(ncols - 1, j, -1):
+            has = wcnt_ref[j2, b] > 0
+            nxt = jnp.where(has, starts_ref[j2, b, 0], nxt)
+            found = found | has
+        in_col = w + 1 < wcnt_ref[j, b]
+        nxt = jnp.where(in_col, starts_ref[j, b, jnp.minimum(w + 1, NW - 1)],
+                        nxt)
+        return nxt, in_col | found
+
+    # warm-up: first item's DMA — predicated on the block having ANY item:
+    # an unconsumed start on an all-padding block leaves its DMA semaphore
+    # signaled at kernel exit (runtime fault / next-block corruption)
+    first = starts_ref[0, b, 0]
+    total = wcnt_ref[0, b]
+    for j2 in range(ncols - 1, 0, -1):
+        total += wcnt_ref[j2, b]
+    for j2 in range(ncols - 1, -1, -1):
+        first = jnp.where(wcnt_ref[j2, b] > 0, starts_ref[j2, b, 0], first)
+
+    if DOUBLE_BUF:
+        @pl.when(total > 0)
+        def _():
+            dma(0, pl.multiple_of(first, 8)).start()
+
+    def col_body(j, item0):
+        loc_abs = base_ref[j, :]                         # [BLK]
         bits = bits_ref[j, :]
 
-        def body(wnd, _, j=j, loc_abs=loc_abs, bits=bits):
-            # dynamic trip count (mean ~1.1 windows) keeps the kernel MLIR
-            # small — an NW-unrolled predicated loop compiles ~8x slower.
-            # The three slot one-hots are assembled into ONE [3*BLK, WIN]
-            # scratch so the gather is a single M-batched MXU dot (small
-            # per-slot dots ran at ~15 TF/s; M-batching tiles across MXUs).
-            start = pl.multiple_of(starts_ref[j, b, wnd], 8)
-            window = feats_ref[pl.ds(start, WIN), :]      # [WIN, C]
-            cdt = window.dtype
-            locm, loc0, locp = _slot_locs(loc_abs, bits, start)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
-            oh_ref[0:BLK, :] = (iota == locm[:, None]).astype(cdt)
-            oh_ref[BLK:2 * BLK, :] = (iota == loc0[:, None]).astype(cdt)
-            oh_ref[2 * BLK:3 * BLK, :] = (iota == locp[:, None]).astype(cdt)
-            g = jnp.dot(oh_ref[:], window,
-                        preferred_element_type=f32)       # [3*BLK, C]
-            gc = g.astype(cdt)
-            acc_ref[:] += jnp.dot(gc[0:BLK], w_ref[3 * j],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(gc[BLK:2 * BLK], w_ref[3 * j + 1],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(gc[2 * BLK:3 * BLK], w_ref[3 * j + 2],
-                                  preferred_element_type=f32)
-            return 0
+        def body(w, item):
+            slot = item % 2
+            if DOUBLE_BUF:
+                nxt, has_next = next_start(j, w)
 
-        jax.lax.fori_loop(0, wcnt_ref[j, b], body, 0)
+                @pl.when(has_next)
+                def _():
+                    dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
+
+            start = pl.multiple_of(starts_ref[j, b, w], 8)
+            if not DOUBLE_BUF:
+                dma(slot, start).start()
+            dma(slot, start).wait()
+            loc = loc_abs - start
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+            oh_ref[:] = (iota == loc[:, None]).astype(cdt)
+            g = jnp.dot(oh_ref[:], win_ref[slot],
+                        preferred_element_type=f32).astype(cdt)  # [BLK,3C]
+            gm, g0, gp = _masked_slots(g, bits, c, cdt)
+            acc_ref[:] += jnp.dot(gm, w_ref[3 * j],
+                                  preferred_element_type=f32)
+            acc_ref[:] += jnp.dot(g0, w_ref[3 * j + 1],
+                                  preferred_element_type=f32)
+            acc_ref[:] += jnp.dot(gp, w_ref[3 * j + 2],
+                                  preferred_element_type=f32)
+            return item + 1
+
+        return jax.lax.fori_loop(0, wcnt_ref[j, b], body, item0)
+
+    item = 0
+    for j in range(ncols):
+        item = col_body(j, item)
 
     o_ref[:] = acc_ref[:]
 
 
-def _run_fwd(feats_p, w_cols, plan):
-    """feats_p [Np, C] bf16 (padded), w_cols [ncols*3, C, cout] bf16."""
+def _run_fwd(w3_p, w_cols, plan):
+    """w3_p [Np+WIN, 3C] bf16 in HBM, w_cols [ncols*3, C, cout] bf16."""
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
     nb = np_pad // BLK
+    c = w_cols.shape[1]
     cout = w_cols.shape[-1]
-    kern = partial(_fwd_kernel, ncols, cout)
+    kern = partial(_fwd_kernel, ncols, c, cout)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # starts, wcnt -> SMEM
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # base blk
             pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # bits blk
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # feats whole
+            pl.BlockSpec(memory_space=pl.ANY),    # w3 stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # weights whole
         ],
         out_specs=pl.BlockSpec((BLK, cout), lambda b, s, w: (b, 0)),
         scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32),
-                        pltpu.VMEM((3 * BLK, WIN), feats_p.dtype)],
+                        pltpu.VMEM((BLK, WIN), w3_p.dtype),
+                        pltpu.VMEM((2, WIN, w3_p.shape[1]), w3_p.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((np_pad, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(plan["starts"], plan["wcnt"], plan["base"], plan["bits"],
-      feats_p, w_cols)
+      w3_p, w_cols)
 
 
-def _dw_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
-               featsb_ref, dout_ref, dw_ref, dwacc_ref):
-    """Grid (nb,): accumulate dW[ncols*3, cin, cout] over all blocks.
-
-    dW[col j, slot s] += feats_block^T @ D_js where D_js is the slot-masked
-    gather of DOUT rows (the transpose pairing of the forward: enumerate
-    (input, output) pairs by input row). featsb is the [BLK, cin] block of
-    feats (blocked input); dout is whole in VMEM (windows gathered).
+def _bwd_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
+                w3d_hbm, wt_ref, featsb_ref, df_ref, dw_ref,
+                acc_ref, oh_ref, win_ref, dwacc_ref, sem):
+    """Fused backward, grid (nb,): per block, gather the dout w3 windows
+    ONCE; the masked slots feed BOTH the dfeats accumulation (conv with
+    flipped-transposed weights wt [ncols*3, cout, cin]) and the dW
+    accumulation dwacc[3j+s] += feats_block^T @ slot_s (the transpose
+    pairing of the forward, enumerated by input row). Round 2 ran two
+    kernels and gathered dout twice.
     """
     b = pl.program_id(0)
 
@@ -290,16 +315,73 @@ def _dw_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
     def _():
         dwacc_ref[:] = jnp.zeros_like(dwacc_ref)
 
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
-    fb = featsb_ref[:]                               # [BLK, cin]
-    for j in range(ncols):
+    cdt = win_ref.dtype
+    fb = featsb_ref[:]                                   # [BLK, cin]
+
+    def dma(slot, start):
+        return pltpu.make_async_copy(
+            w3d_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
+            sem.at[slot])
+
+    def next_start(j, w):
+        nxt = starts_ref[j, b, 0]
+        found = jnp.zeros((), jnp.bool_)
+        for j2 in range(ncols - 1, j, -1):
+            has = wcnt_ref[j2, b] > 0
+            nxt = jnp.where(has, starts_ref[j2, b, 0], nxt)
+            found = found | has
+        in_col = w + 1 < wcnt_ref[j, b]
+        nxt = jnp.where(in_col, starts_ref[j, b, jnp.minimum(w + 1, NW - 1)],
+                        nxt)
+        return nxt, in_col | found
+
+    # warm-up: first item's DMA (skipped when the block has no items at
+    # all, e.g. padding blocks past the valid rows)
+    first = starts_ref[0, b, 0]
+    total = wcnt_ref[0, b]
+    for j2 in range(ncols - 1, 0, -1):
+        total += wcnt_ref[j2, b]
+    for j2 in range(ncols - 1, -1, -1):
+        first = jnp.where(wcnt_ref[j2, b] > 0, starts_ref[j2, b, 0], first)
+
+    if DOUBLE_BUF:
+        @pl.when(total > 0)
+        def _():
+            dma(0, pl.multiple_of(first, 8)).start()
+
+    def col_body(j, item0):
         loc_abs = base_ref[j, :]
         bits = bits_ref[j, :]
 
-        def body(wnd, _, j=j, loc_abs=loc_abs, bits=bits):
-            start = pl.multiple_of(starts_ref[j, b, wnd], 8)
-            window = dout_ref[pl.ds(start, WIN), :]
-            gm, g0, gp = _slot_gathers(loc_abs, bits, start, window)
+        def body(w, item):
+            slot = item % 2
+            if DOUBLE_BUF:
+                nxt, has_next = next_start(j, w)
+
+                @pl.when(has_next)
+                def _():
+                    dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
+
+            start = pl.multiple_of(starts_ref[j, b, w], 8)
+            if not DOUBLE_BUF:
+                dma(slot, start).start()
+            dma(slot, start).wait()
+            loc = loc_abs - start
+            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+            oh_ref[:] = (iota == loc[:, None]).astype(cdt)
+            g = jnp.dot(oh_ref[:], win_ref[slot],
+                        preferred_element_type=f32).astype(cdt)
+            gm, g0, gp = _masked_slots(g, bits, cout, cdt)
+            # dfeats: conv over dout with wt[j] = W[flip(row)]^T
+            acc_ref[:] += jnp.dot(gm, wt_ref[3 * j],
+                                  preferred_element_type=f32)
+            acc_ref[:] += jnp.dot(g0, wt_ref[3 * j + 1],
+                                  preferred_element_type=f32)
+            acc_ref[:] += jnp.dot(gp, wt_ref[3 * j + 2],
+                                  preferred_element_type=f32)
+            # dW: slot-masked dout blocks against the feats block
             dims = (((0,), (0,)), ((), ()))
             dwacc_ref[3 * j] += jax.lax.dot_general(
                 fb, gm, dims, preferred_element_type=f32)
@@ -307,39 +389,59 @@ def _dw_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
                 fb, g0, dims, preferred_element_type=f32)
             dwacc_ref[3 * j + 2] += jax.lax.dot_general(
                 fb, gp, dims, preferred_element_type=f32)
-            return 0
+            return item + 1
 
-        jax.lax.fori_loop(0, wcnt_ref[j, b], body, 0)
+        return jax.lax.fori_loop(0, wcnt_ref[j, b], body, item0)
+
+    item = 0
+    for j in range(ncols):
+        item = col_body(j, item)
+
+    df_ref[:] = acc_ref[:]
 
     @pl.when(b == pl.num_programs(0) - 1)
     def _():
         dw_ref[:] = dwacc_ref[:]
 
 
-def _run_dw(feats_p, dout_p, plan, cin, cout):
+def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
+    """w3d_p [Np+WIN, 3*cout] bf16 HBM (w3 of dout); feats_p [Np, cin]
+    blocked; wt_cols [ncols*3, cout, cin]. Returns (dfeats, dw_cols)."""
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
     nb = np_pad // BLK
-    kern = partial(_dw_kernel, ncols, cin, cout)
+    kern = partial(_bwd_kernel, ncols, cin, cout)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # base blk
             pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # bits blk
+            pl.BlockSpec(memory_space=pl.ANY),                # w3(dout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # wt whole
             pl.BlockSpec((BLK, cin), lambda b, s, w: (b, 0)),    # feats blk
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # dout whole
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),       # dW whole
-        scratch_shapes=[pltpu.VMEM((3 * ncols, cin, cout), jnp.float32)],
+        out_specs=(
+            pl.BlockSpec((BLK, cin), lambda b, s, w: (b, 0)),    # dfeats
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # dW whole
+        ),
+        scratch_shapes=[pltpu.VMEM((BLK, cin), jnp.float32),
+                        pltpu.VMEM((BLK, WIN), w3d_p.dtype),
+                        pltpu.VMEM((2, WIN, w3d_p.shape[1]), w3d_p.dtype),
+                        pltpu.VMEM((3 * ncols, cin, cout), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3 * ncols, cin, cout), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((np_pad, cin), jnp.float32),
+            jax.ShapeDtypeStruct((3 * ncols, cin, cout), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
     )(plan["starts"], plan["wcnt"], plan["base"], plan["bits"],
-      feats_p, dout_p)
+      w3d_p, wt_cols, feats_p)
 
 
 # -------------------------------------------------------------- wrappers --
@@ -374,7 +476,7 @@ def _dw_unorder(dw_cols, offsets_key):
         order.extend(rows)
     k = len(order)
     flip = np.arange(k)[::-1]
-    # dW pass slot o holds dW[flip(order[o])]
+    # bwd slot o holds dW[flip(order[o])]
     dest = flip[np.asarray(order)]
     inv = np.empty(k, np.int64)
     inv[dest] = np.arange(k)
@@ -388,16 +490,34 @@ def _pad_rows(x, np_pad):
     return jnp.pad(x, ((0, np_pad - n), (0, 0)))
 
 
+def _w3_table(x: jax.Array) -> jax.Array:
+    """w3[i] = [x[i-1], x[i], x[i+1]], [N, ceil(3C/128)*128]
+    (sparse_conv._window_table + zero lane padding: the manual window DMA
+    requires 128-aligned lane widths — Mosaic rejects memref slices whose
+    lane extent is not a tiling multiple)."""
+    zero = jnp.zeros((1, x.shape[1]), x.dtype)
+    xm = jnp.concatenate([zero, x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], zero], axis=0)
+    w3 = jnp.concatenate([xm, x, xp], axis=1)
+    lanes = -(-w3.shape[1] // 128) * 128
+    if lanes != w3.shape[1]:
+        w3 = jnp.pad(w3, ((0, 0), (0, lanes - w3.shape[1])))
+    return w3
+
+
+def _stage_dtype(cdt):
+    return jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
+
+
 def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
     """lax.cond between the pallas kernel and the XLA window conv."""
-    cdt = jnp.dtype(cdt).type if not isinstance(cdt, type) else cdt
     def pallas_branch(feats, weights):
+        sdt = _stage_dtype(cdt)
         # stage WIN extra zero rows so the top window never over-runs
-        # (greedy starts are <= max base <= N-1; end <= N-1+WIN)
-        sdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
         fp = _pad_rows(feats.astype(sdt), plan["n_pad"] + WIN)
+        w3 = _w3_table(fp)
         wc = _w_to_cols(weights, offsets_key, sdt)
-        out = _run_fwd(fp, wc, plan)
+        out = _run_fwd(w3, wc, plan)
         return out[: feats.shape[0]]
 
     def xla_branch(feats, weights):
@@ -441,16 +561,14 @@ def _core_bwd(offsets_key, compute_dtype, res, dout):
     cdt = compute_dtype
 
     def pallas_branch(feats, weights, dout):
-        # window-staged operands get WIN slack rows; the blocked feats
-        # input is exactly grid-sized
-        sdt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
+        sdt = _stage_dtype(cdt)
         dp = _pad_rows(dout.astype(sdt), plan["n_pad"] + WIN)
+        w3d = _w3_table(dp)
         fp = _pad_rows(feats.astype(sdt), plan["n_pad"])
         wt = _w_to_cols_flipped(weights, offsets_key, sdt)
-        dfeats = _run_fwd(dp, wt, plan)[: feats.shape[0]]
-        dw_cols = _run_dw(fp, dp, plan, cin, cout)
+        dfeats, dw_cols = _run_bwd(w3d, fp, wt, plan, cin, cout)
         dw = _dw_unorder(dw_cols, offsets_key)
-        return dfeats, dw
+        return dfeats[: feats.shape[0]], dw
 
     def xla_branch(feats, weights, dout):
         from .sparse_conv import _window_bwd
@@ -467,53 +585,6 @@ def _core_bwd(offsets_key, compute_dtype, res, dout):
 _pallas_conv_core.defvjp(_core_fwd, _core_bwd)
 
 
-# VMEM budget for a window-staged operand ([Np+WIN, C] feats or dout) and
-# for dout + dW-scratch together in the dW pass. ~16 MB/core total minus
-# one-hot working set (~6 MB) and double-buffered block IO.
-_VMEM_OPERAND_BUDGET = 9 * 2 ** 20
-
-
-def _stage_bytes(n_pad, c, dtype_bytes=2):
-    return (n_pad + WIN) * c * dtype_bytes
-
-
-def _core_call(feats, weights, key, compute_dtype, kmap, plan):
-    return _pallas_conv_core(
-        feats, weights, key, compute_dtype, kmap,
-        plan["base"], plan["bits"], plan["starts"], plan["wcnt"],
-        plan["overflow"])
-
-
-def _split_conv(feats, weights, key, compute_dtype, kmap, plan):
-    """Recursive channel split so every kernel pass fits VMEM.
-
-    Splitting Cin halves the forward feats staging and dW scratch rows;
-    splitting Cout halves the backward dout staging and dW scratch cols.
-    The conv is linear in both, so sub-results sum (Cin) / concat (Cout).
-    """
-    k, cin, cout = weights.shape
-    n_pad = plan["n_pad"]
-    dwacc = 3 * plan["ncols"] * cin * cout * 4
-    fwd_over = _stage_bytes(n_pad, cin) > _VMEM_OPERAND_BUDGET
-    bwd_over = (_stage_bytes(n_pad, cout) + dwacc) > _VMEM_OPERAND_BUDGET
-    if fwd_over and cin >= 2 and cin % 2 == 0:
-        h = cin // 2
-        return (
-            _split_conv(feats[:, :h], weights[:, :h], key, compute_dtype,
-                        kmap, plan)
-            + _split_conv(feats[:, h:], weights[:, h:], key, compute_dtype,
-                          kmap, plan))
-    if bwd_over and cout >= 2 and cout % 2 == 0:
-        h = cout // 2
-        return jnp.concatenate([
-            _split_conv(feats, weights[:, :, :h], key, compute_dtype,
-                        kmap, plan),
-            _split_conv(feats, weights[:, :, h:], key, compute_dtype,
-                        kmap, plan),
-        ], axis=1)
-    return _core_call(feats, weights, key, compute_dtype, kmap, plan)
-
-
 def pallas_window_subm_conv(
     feats: jax.Array,       # [N, Cin] sorted rows, padding zero
     weights: jax.Array,     # [K, Cin, Cout]
@@ -528,6 +599,9 @@ def pallas_window_subm_conv(
     assert kmap.shape[1] == feats.shape[0]
     key = _plan_key(offsets)
     plan = build_window_plan(kmap, key)
-    out = _split_conv(feats, weights, key, compute_dtype, kmap, plan)
+    out = _pallas_conv_core(
+        feats, weights, key, compute_dtype, kmap,
+        plan["base"], plan["bits"], plan["starts"], plan["wcnt"],
+        plan["overflow"])
     out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(jnp.promote_types(feats.dtype, compute_dtype))

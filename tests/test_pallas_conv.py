@@ -113,16 +113,31 @@ def test_overflow_falls_back_exactly(rng, monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_channel_split_matches(rng, monkeypatch):
-    # force the recursive Cin/Cout split and check exactness is preserved
-    monkeypatch.setattr(pc, "_VMEM_OPERAND_BUDGET", 40 * 1024)
+def test_wide_channels_single_kernel(rng):
+    # v3 DMA-window kernel handles wide channels WITHOUT the round-2
+    # recursive channel split (whose C=96 scoped-VMEM OOM motivated the
+    # HBM-staged w3 design): fwd + grads parity at Cin=96, Cout=96
     feats, kmap, valid = scene(rng)
+    n = feats.shape[0]
+    feats96 = jnp.concatenate([feats] * (96 // feats.shape[1] + 1),
+                              axis=1)[:, :96]
     offs = kernel_offsets(3)
-    W = jnp.asarray(
-        rng.normal(size=(27, feats.shape[1], 12)).astype(np.float32))
-    ref = window_subm_conv(feats, W, kmap, valid, offs,
-                           compute_dtype=jnp.float32)
-    got = pc.pallas_window_subm_conv(feats, W, kmap, valid, offs,
-                                     compute_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+    W = jnp.asarray(rng.normal(size=(27, 96, 96)).astype(np.float32))
+
+    def loss_ref(f, w):
+        return jnp.sum(window_subm_conv(f, w, kmap, valid, offs,
+                                        compute_dtype=jnp.float32) ** 2)
+
+    def loss_got(f, w):
+        return jnp.sum(pc.pallas_window_subm_conv(
+            f, w, kmap, valid, offs, compute_dtype=jnp.float32) ** 2)
+
+    ref, (gr_f, gr_w) = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        feats96, W)
+    got, (gg_f, gg_w) = jax.value_and_grad(loss_got, argnums=(0, 1))(
+        feats96, W)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gr_f),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_w), np.asarray(gr_w),
+                               rtol=1e-3, atol=1e-3)
