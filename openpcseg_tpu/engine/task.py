@@ -33,6 +33,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # cross-step loss statistics (EQLv2's pos/neg gradient buffers,
+    # reference pcseg/loss/eqlv2.py:24-31); {} when no loss is stateful —
+    # an empty dict adds no pytree leaves, so checkpoints stay compatible
+    loss_state: Any = struct.field(default_factory=dict)
 
 
 def default_caps(voxel_cap0: int, num_levels: int,
@@ -85,8 +89,19 @@ class SegTask:
         elif not self.is_range:
             self.voxel_size = float(cfgs.DATA.VOXEL_SIZE)
 
+        # extended GroupSoftmax head widens the classifier (see Losses
+        # wiring below); metrics/eval stay over the true num_class
+        _extend = bool(cfgs.MODEL.get("EXTEND_HEAD_FOR_GROUPS", False))
+        if _extend:
+            from ..losses.longtail import group_softmax_channel_num
+            assert self.modality != "range", (
+                "EXTEND_HEAD_FOR_GROUPS supports sparse segmentors only")
+            head_out = group_softmax_channel_num(
+                num_class, cfgs.MODEL.get("GROUP_VERSION", "bgfg"))
+        else:
+            head_out = num_class
         self.model = build_segmentor(
-            cfgs.MODEL, num_class,
+            cfgs.MODEL, head_out,
             axis_name=axis_name, compute_dtype=compute_dtype,
         )
         if not self.is_range:
@@ -120,6 +135,12 @@ class SegTask:
         from ..data import dataset_meta
         ds_names, ds_num_pts = dataset_meta(
             cfgs.get("DATA", {}).get("DATASET", "semantickitti"))
+        # opt-in extended classifier head for GroupSoftmax's per-group
+        # 'others' channels (reference group_softmax.py get_channel_num —
+        # never wired to any reference model; working here)
+        self.extended_group_head = bool(
+            cfgs.MODEL.get("EXTEND_HEAD_FOR_GROUPS", False))
+        self.group_version = cfgs.MODEL.get("GROUP_VERSION", "bgfg")
         self.losses = Losses(
             loss_types=loss_cfg.get("LOSS_TYPES", ["CELoss", "LovLoss"]),
             loss_weights=loss_cfg.get("LOSS_WEIGHTS", [1.0, 1.0]),
@@ -127,6 +148,10 @@ class SegTask:
             ignore_index=cfgs.MODEL.get("IGNORE_LABEL", 0),
             label_smoothing=cfgs.MODEL.get("LABEL_SMOOTHING", 0.0),
             class_names=ds_names,
+            num_class=num_class,
+            extended_group_head=self.extended_group_head,
+            group_version=self.group_version,
+            axis_name=axis_name,
         )
 
         # LR linear scaling rule (reference train.py:251)
@@ -201,20 +226,37 @@ class SegTask:
             }
         return vb.voxel_feats
 
-    def _loss_from_outputs(self, out, vb: VoxelBatch):
+    def _loss_from_outputs(self, out, vb: VoxelBatch, loss_state=None,
+                           rng=None):
         """Main criterion on voxel-aligned logits + model aux losses
-        (Cylinder3D's point-refinement CE, reference cylinder_ts.py:475)."""
+        (Cylinder3D's point-refinement CE, reference cylinder_ts.py:475).
+        Returns (loss, new_loss_state, logits)."""
         aux = {}
         if isinstance(out, tuple):
             out, aux = out
-        loss = self.losses(out, vb.voxel_labels, vb.voxel_valid)
+        res = self.losses(out, vb.voxel_labels, vb.voxel_valid,
+                          state=loss_state, rng=rng)
+        loss, new_loss_state = res if loss_state is not None else (res,
+                                                                   loss_state)
         if "point_refine_logits" in aux:
             loss = loss + cross_entropy(
                 aux["point_refine_logits"], vb.point_labels, vb.point_valid,
                 ignore_index=self.losses.ignore_index,
                 label_smoothing=self.losses.label_smoothing,
             )
-        return loss, out
+        return loss, new_loss_state, out
+
+    def _class_scores(self, logits: jax.Array) -> jax.Array:
+        """Map head logits to per-class scores for argmax/softmax: identity
+        for plain heads; the group-softmax activation for extended heads
+        (reference group_softmax.py get_activation:221-236)."""
+        if not self.extended_group_head:
+            return logits
+        from ..losses.longtail import group_softmax_activation
+        return group_softmax_activation(
+            logits, num_class=self.num_class,
+            class_names=self.losses.class_names,
+            version=self.group_version)
 
     # -------------------------------------------------------------- init --
 
@@ -242,6 +284,7 @@ class SegTask:
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
+            loss_state=self.losses.init_state(self.num_class),
         )
 
     # ------------------------------------------------------------- steps --
@@ -260,12 +303,12 @@ class SegTask:
                 self._model_inputs(vb, batch), pyr, train=True,
                 mutable=["batch_stats"], rngs={"dropout": dropout_rng},
             )
-            loss, _ = self._loss_from_outputs(out, vb)
-            return loss, mutated["batch_stats"]
+            loss, new_loss_state, _ = self._loss_from_outputs(
+                out, vb, loss_state=state.loss_state, rng=dropout_rng)
+            return loss, (mutated["batch_stats"], new_loss_state)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, new_loss_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         num_voxels = vb.num_voxels
         # overflow across ALL pyramid levels (deep-level drops would
         # otherwise be silent); level 0 uses the pre-dedup true count
@@ -285,6 +328,7 @@ class SegTask:
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            loss_state=new_loss_state,
         )
         metrics = {
             "loss": loss,
@@ -319,7 +363,8 @@ class SegTask:
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               batch_stats=new_stats, opt_state=new_opt)
+                               batch_stats=new_stats, opt_state=new_opt,
+                               loss_state=state.loss_state)
         zero = jnp.zeros((), jnp.int32)
         return new_state, {"loss": loss, "lr": self.lr_fn(state.step),
                            "num_voxels": zero, "voxel_overflow": zero}
@@ -341,7 +386,8 @@ class SegTask:
             self._model_inputs(vb, batch), pyr, train=False,
         )
         logits = out[0] if isinstance(out, tuple) else out
-        voxel_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        voxel_pred = jnp.argmax(
+            self._class_scores(logits), axis=-1).astype(jnp.int32)
         inv = vb.inverse_map
         point_pred = jnp.where(inv >= 0, voxel_pred[jnp.maximum(inv, 0)], 0)
         b = batch["xyz"].shape[0]
@@ -357,7 +403,8 @@ class SegTask:
             {"params": state.params, "batch_stats": state.batch_stats},
             self._model_inputs(vb, batch), pyr, train=False,
         )
-        logits = out[0] if isinstance(out, tuple) else out
+        logits = self._class_scores(
+            out[0] if isinstance(out, tuple) else out)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         inv = vb.inverse_map
         point_probs = jnp.where(
@@ -455,7 +502,8 @@ class SegTask:
             self._model_inputs(vb, batch), pyr, train=False,
         )
         logits = out[0] if isinstance(out, tuple) else out
-        voxel_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        voxel_pred = jnp.argmax(
+            self._class_scores(logits), axis=-1).astype(jnp.int32)
         inv = vb.inverse_map
         point_pred = jnp.where(inv >= 0, voxel_pred[jnp.maximum(inv, 0)], 0)
         hist = confusion_matrix(

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 from .ce import cross_entropy, focal_loss, weighted_cross_entropy  # noqa: F401
 from .dice import dice_loss, exp_log_loss  # noqa: F401
-from .longtail import eqlv2_loss, group_softmax_loss  # noqa: F401
+from .longtail import (eqlv2_init_state, eqlv2_loss,  # noqa: F401
+                       group_softmax_loss, group_softmax_loss_extended)
 from .lovasz import lovasz_softmax  # noqa: F401
 
 
@@ -33,12 +34,20 @@ class Losses:
         label_smoothing: float = 0.0,
         class_weight=None,
         class_names: Optional[List[str]] = None,
+        num_class: Optional[int] = None,
+        extended_group_head: bool = False,
+        group_version: str = "bgfg",
+        axis_name: Optional[str] = None,
     ):
         assert len(loss_types) == len(loss_weights)
         self.loss_types = list(loss_types)
         self.loss_weights = list(loss_weights)
         self.ignore_index = ignore_index
         self.label_smoothing = label_smoothing
+        self.num_class = num_class
+        self.extended_group_head = extended_group_head
+        self.group_version = group_version
+        self.axis_name = axis_name
         self.class_weight = (
             jnp.asarray(class_weight) if class_weight is not None else None
         )
@@ -54,12 +63,32 @@ class Losses:
         if unknown:
             raise NotImplementedError(f"loss types not implemented: {unknown}")
 
+    @property
+    def stateful(self) -> bool:
+        """True when a loss carries cross-step statistics (EQLv2's
+        pos/neg-gradient buffers, reference eqlv2.py:24-31)."""
+        return "EQLv2" in self.loss_types
+
+    def init_state(self, num_class: Optional[int] = None):
+        """Initial loss_state pytree for TrainState (empty when no loss is
+        stateful)."""
+        c = num_class or self.num_class
+        if "EQLv2" in self.loss_types:
+            return {"eqlv2": eqlv2_init_state(c)}
+        return {}
+
     def __call__(
         self,
         logits: jax.Array,   # [N, C]
         labels: jax.Array,   # [N]
         valid: jax.Array,    # [N]
-    ) -> jax.Array:
+        state: Optional[dict] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Weighted loss sum. When ``state`` is given (the TrainState
+        loss_state pytree), returns ``(loss, new_state)``; otherwise the
+        scalar loss (stateful losses then use batch-local statistics)."""
+        new_state = dict(state) if state is not None else None
         total = jnp.float32(0.0)
         for name, w in zip(self.loss_types, self.loss_weights):
             if name == "CELoss":
@@ -97,16 +126,36 @@ class Losses:
                     label_smoothing=self.label_smoothing,
                 )
             elif name == "EQLv2":
-                v = eqlv2_loss(
-                    logits, labels, valid, ignore_index=self.ignore_index
-                )
+                if state is not None and "eqlv2" in state:
+                    v, new_state["eqlv2"] = eqlv2_loss(
+                        logits, labels, valid, state=state["eqlv2"],
+                        ignore_index=self.ignore_index,
+                        axis_name=self.axis_name,
+                    )
+                else:
+                    v = eqlv2_loss(
+                        logits, labels, valid,
+                        ignore_index=self.ignore_index,
+                    )
             elif name in ("GroupSoftmax", "GroupSoftmax_fgbg_2"):
-                v = group_softmax_loss(
-                    logits, labels, valid,
-                    class_names=self.class_names,
-                    ignore_index=self.ignore_index,
-                )
+                if self.extended_group_head:
+                    v = group_softmax_loss_extended(
+                        logits, labels, valid,
+                        num_class=self.num_class or logits.shape[-1],
+                        class_names=self.class_names,
+                        version=self.group_version,
+                        ignore_index=self.ignore_index,
+                        rng=rng,
+                    )
+                else:
+                    v = group_softmax_loss(
+                        logits, labels, valid,
+                        class_names=self.class_names,
+                        ignore_index=self.ignore_index,
+                    )
             else:  # pragma: no cover - guarded in __init__
                 raise NotImplementedError(name)
             total = total + w * v
+        if state is not None:
+            return total, new_state
         return total
