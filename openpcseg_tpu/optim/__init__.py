@@ -150,20 +150,60 @@ def build_optimizer(optim_cfg, iters_per_epoch: int, total_epochs: int
             parts.append(optax.add_decayed_weights(wd))  # decoupled
         parts.append(optax.scale_by_learning_rate(lr))
     elif name == "adam_onecycle":
-        # fastai OneCycle wrapper (reference fastai_optim.py); approximated
-        # with adam + onecycle cosine schedule, true_wd semantics.
-        sched = optax.cosine_onecycle_schedule(
-            transition_steps=total_epochs * iters_per_epoch,
-            peak_value=optim_cfg.LR,
-            pct_start=optim_cfg.get("PCT_START", 0.4),
-            div_factor=optim_cfg.get("DIV_FACTOR", 10.0),
+        # exact fastai OneCycle (reference fastai_optim.py OptimWrapper +
+        # learning_schedules_fastai.py OneCycle): cosine-annealed lr
+        # low->max->low/1e4 with phase split at PCT_START, adam b1 annealed
+        # MOMS[0]->MOMS[1]->MOMS[0] in antiphase, b2=0.99
+        # (optim/__init__.py:61-64), and true_wd (p *= 1 - wd*lr before the
+        # step — identical to decoupled AdamW decay) applied to EVERY param:
+        # the reference builds ONE layer group (get_layer_groups flattens
+        # the whole model, optim/__init__.py:58-59) and bn_wd=True decays
+        # the bn/bias split too, so the group machinery is an exact no-op.
+        total_steps = total_epochs * iters_per_epoch
+        lr_fn, mom_fn = _fastai_onecycle(
+            lr_max=optim_cfg.LR,
+            moms=tuple(optim_cfg.get("MOMS", (0.95, 0.85))),
+            div_factor=float(optim_cfg.get("DIV_FACTOR", 10.0)),
+            pct_start=float(optim_cfg.get("PCT_START", 0.4)),
+            total_steps=total_steps,
         )
-        lr = sched
-        parts.append(optax.scale_by_adam(b1=0.9, b2=0.99))
+        lr = lr_fn
+        parts.append(optax.inject_hyperparams(optax.scale_by_adam)(
+            b1=mom_fn, b2=0.99))
         if wd:
             parts.append(optax.add_decayed_weights(wd))
-        parts.append(optax.scale_by_learning_rate(sched))
+        parts.append(optax.scale_by_learning_rate(lr_fn))
     else:
         raise NotImplementedError(f"OPTIMIZER {name}")
 
     return optax.chain(*parts), lr
+
+
+def _fastai_onecycle(lr_max, moms, div_factor, pct_start, total_steps):
+    """lr(step) and adam-b1(step) of the fastai OneCycle scheduler
+    (reference learning_schedules_fastai.py:53-78: annealing_cos phases
+    split at int(total * pct_start); phase pct clamps implicitly because
+    LRSchedulerStep re-evaluates `if step >= start` each step)."""
+    import jax.numpy as jnp
+
+    a1 = int(total_steps * pct_start)
+    low_lr = lr_max / div_factor
+
+    def anneal(start, end, pct):
+        return end + (start - end) / 2 * (jnp.cos(math.pi * pct) + 1)
+
+    def lr_fn(step):
+        s = jnp.asarray(step, jnp.float32)
+        p1 = anneal(low_lr, lr_max, s / max(a1, 1))
+        p2 = anneal(lr_max, low_lr / 1e4,
+                    (s - a1) / max(total_steps - a1, 1))
+        return jnp.where(s < a1, p1, p2)
+
+    def mom_fn(step):
+        s = jnp.asarray(step, jnp.float32)
+        p1 = anneal(moms[0], moms[1], s / max(a1, 1))
+        p2 = anneal(moms[1], moms[0],
+                    (s - a1) / max(total_steps - a1, 1))
+        return jnp.where(s < a1, p1, p2)
+
+    return lr_fn, mom_fn
