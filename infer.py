@@ -31,6 +31,11 @@ def parse_config():
     parser.add_argument("--save_pred", action="store_true",
                         help="dump per-scan .npy predictions to "
                              "DATA.OUTPUT_DIR")
+    parser.add_argument("--save_raw_ids", action="store_true",
+                        help="with --save_pred: remap train ids back to raw "
+                             "dataset label ids (inverse LEARNING_MAP) and "
+                             "write SemanticKITTI submission-format .label "
+                             "files under sequences/<seq>/predictions/")
     parser.add_argument("--tta", action="store_true",
                         help="10-vote test-time-augmentation eval "
                              "(reference TTA collate path)")
@@ -46,9 +51,27 @@ def parse_config():
     return args, cfgs
 
 
-def dump_predictions(trainer: Trainer, out_dir: Path) -> int:
-    """Per-scan argmax dump (reference infer.py:424-438)."""
+def dump_predictions(trainer: Trainer, out_dir: Path,
+                     raw_ids: bool = False) -> int:
+    """Per-scan argmax dump (reference infer.py:424-438).
+
+    raw_ids=True additionally inverts the LEARNING_MAP (train id -> raw
+    dataset id, reference semantickitti_utils.py learning_map_inv) and
+    writes uint32 ``sequences/<seq>/predictions/<frame>.label`` files —
+    the official SemanticKITTI benchmark submission layout.
+    """
     import jax
+
+    inv_lut = None
+    if raw_ids:
+        ds = trainer.cfgs.DATA.DATASET
+        if ds in ("semantickitti", "scribblekitti"):
+            from openpcseg_tpu.data.semantickitti_meta import (
+                LEARNING_MAP_INV_LUT)
+            inv_lut = LEARNING_MAP_INV_LUT
+        else:
+            raise SystemExit(f"--save_raw_ids: no inverse label map for "
+                             f"dataset '{ds}'")
 
     out_dir.mkdir(parents=True, exist_ok=True)
     pstep = jax.jit(trainer.task.predict_step)
@@ -65,13 +88,20 @@ def dump_predictions(trainer: Trainer, out_dir: Path) -> int:
             # (reference keeps full sequence/frame names, infer.py:424-438);
             # padded eval tails have no real scan — skip them
             parts = str(name).replace("\\", "/").split("/")
-            if len(parts) >= 3 and parts[-1].endswith(".bin"):
-                fname = f"{parts[-3]}_{parts[-1][:-4]}.npy"
-            elif str(name) == "<pad>":
+            named = len(parts) >= 3 and parts[-1].endswith(".bin")
+            if str(name) == "<pad>":
                 continue  # eval-padding sample (BatchLoader pad_last)
+            if inv_lut is not None:
+                seq = parts[-3] if named else "00"
+                frame = parts[-1][:-4] if named else f"{count:06d}"
+                pdir = out_dir / "sequences" / seq / "predictions"
+                pdir.mkdir(parents=True, exist_ok=True)
+                raw = inv_lut[p.astype(np.int64)].astype(np.uint32)
+                raw.tofile(pdir / f"{frame}.label")
             else:
-                fname = f"{count:06d}.npy"
-            np.save(out_dir / fname, p.astype(np.int32))
+                fname = (f"{parts[-3]}_{parts[-1][:-4]}.npy" if named
+                         else f"{count:06d}.npy")
+                np.save(out_dir / fname, p.astype(np.int32))
             count += 1
     return count
 
@@ -96,7 +126,7 @@ def main():
 
     if args.save_pred:
         out_dir = Path(cfgs.DATA.get("OUTPUT_DIR", trainer.exp_dir / "preds"))
-        n = dump_predictions(trainer, out_dir)
+        n = dump_predictions(trainer, out_dir, raw_ids=args.save_raw_ids)
         trainer.logger.info(f"saved {n} prediction files to {out_dir}")
 
 
