@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openpcseg_tpu.config import CfgDict
 from openpcseg_tpu.data import synthetic_batch
 from openpcseg_tpu.engine import SegTask

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from openpcseg_tpu.config import CfgDict
 from openpcseg_tpu.data.range_view import (
     range_mix,
