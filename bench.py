@@ -12,6 +12,7 @@ Runs on the real TPU chip when available (axon platform), CPU otherwise.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -96,6 +97,13 @@ def main():
     float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
     scans_per_sec = batch * iters / dt
+
+    prof_dir = os.environ.get("BENCH_PROFILE", "")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            for _ in range(4):
+                state, m = step(state, batch_data, rng)
+            float(jax.device_get(m["loss"]))
 
     # p50 per-scan inference latency (the second half of the north-star
     # metric, BASELINE.json): single-scan eval_step, per-call device_get

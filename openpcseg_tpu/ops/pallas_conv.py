@@ -175,11 +175,14 @@ def _masked_slots(g, bits, c, cdt):
     return s0 * a0 + s1 * a1, s1 * b1, s1 * c1 + s2 * c2
 
 
-def _fwd_kernel(ncols, c, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
+def _fwd_kernel(ncols, c, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
                 w3_hbm, w_ref, o_ref, acc_ref, oh_ref, win_ref, sem):
     """Grid (nb,): one BLK-row output block per step.
 
-    starts [ncols, nb, NW] + wcnt [ncols, nb] scalar-prefetch (SMEM);
+    starts [ncols*nb*NW] + wcnt [ncols*nb] scalar-prefetch (SMEM; flat 1-D
+    because Mosaic pads each SMEM operand's LAST dim to 128 lanes — the
+    [ncols, nb, NW=16] layout 8x-inflates and overflows the 1 MB SMEM at
+    batch >= 2);
     base/bits [ncols, BLK] VMEM blocks; w3_hbm [Np+WIN, 3C] stays in HBM —
     windows are DMA'd per (column, window) into the double-buffered
     win_ref [2, WIN, 3C]; w [ncols*3, C, cout] whole in VMEM.
@@ -200,26 +203,28 @@ def _fwd_kernel(ncols, c, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
     def next_start(j, w):
         # start of the item after (j, w); garbage if none remains (the
         # extra DMA is harmless — it is never waited past the last item)
-        nxt = starts_ref[j, b, 0]
+        nxt = starts_ref[(j * nb + b) * NW]
         found = jnp.zeros((), jnp.bool_)
         for j2 in range(ncols - 1, j, -1):
-            has = wcnt_ref[j2, b] > 0
-            nxt = jnp.where(has, starts_ref[j2, b, 0], nxt)
+            has = wcnt_ref[j2 * nb + b] > 0
+            nxt = jnp.where(has, starts_ref[(j2 * nb + b) * NW], nxt)
             found = found | has
-        in_col = w + 1 < wcnt_ref[j, b]
-        nxt = jnp.where(in_col, starts_ref[j, b, jnp.minimum(w + 1, NW - 1)],
-                        nxt)
+        in_col = w + 1 < wcnt_ref[j * nb + b]
+        nxt = jnp.where(
+            in_col,
+            starts_ref[(j * nb + b) * NW + jnp.minimum(w + 1, NW - 1)], nxt)
         return nxt, in_col | found
 
     # warm-up: first item's DMA — predicated on the block having ANY item:
     # an unconsumed start on an all-padding block leaves its DMA semaphore
     # signaled at kernel exit (runtime fault / next-block corruption)
-    first = starts_ref[0, b, 0]
-    total = wcnt_ref[0, b]
+    first = starts_ref[b * NW]
+    total = wcnt_ref[b]
     for j2 in range(ncols - 1, 0, -1):
-        total += wcnt_ref[j2, b]
+        total += wcnt_ref[j2 * nb + b]
     for j2 in range(ncols - 1, -1, -1):
-        first = jnp.where(wcnt_ref[j2, b] > 0, starts_ref[j2, b, 0], first)
+        first = jnp.where(wcnt_ref[j2 * nb + b] > 0,
+                          starts_ref[(j2 * nb + b) * NW], first)
 
     if DOUBLE_BUF:
         @pl.when(total > 0)
@@ -239,7 +244,7 @@ def _fwd_kernel(ncols, c, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
                 def _():
                     dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
 
-            start = pl.multiple_of(starts_ref[j, b, w], 8)
+            start = pl.multiple_of(starts_ref[(j * nb + b) * NW + w], 8)
             if not DOUBLE_BUF:
                 dma(slot, start).start()
             dma(slot, start).wait()
@@ -257,7 +262,7 @@ def _fwd_kernel(ncols, c, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
                                   preferred_element_type=f32)
             return item + 1
 
-        return jax.lax.fori_loop(0, wcnt_ref[j, b], body, item0)
+        return jax.lax.fori_loop(0, wcnt_ref[j * nb + b], body, item0)
 
     item = 0
     for j in range(ncols):
@@ -273,7 +278,7 @@ def _run_fwd(w3_p, w_cols, plan):
     nb = np_pad // BLK
     c = w_cols.shape[1]
     cout = w_cols.shape[-1]
-    kern = partial(_fwd_kernel, ncols, c, cout)
+    kern = partial(_fwd_kernel, ncols, c, cout, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,                       # starts, wcnt -> SMEM
         grid=(nb,),
@@ -295,11 +300,11 @@ def _run_fwd(w3_p, w_cols, plan):
         out_shape=jax.ShapeDtypeStruct((np_pad, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(plan["starts"], plan["wcnt"], plan["base"], plan["bits"],
-      w3_p, w_cols)
+    )(plan["starts"].reshape(-1), plan["wcnt"].reshape(-1), plan["base"],
+      plan["bits"], w3_p, w_cols)
 
 
-def _bwd_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
+def _bwd_kernel(ncols, cin, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
                 w3d_hbm, wt_ref, featsb_ref, df_ref, dw_ref,
                 acc_ref, oh_ref, win_ref, dwacc_ref, sem):
     """Fused backward, grid (nb,): per block, gather the dout w3 windows
@@ -326,25 +331,27 @@ def _bwd_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
             sem.at[slot])
 
     def next_start(j, w):
-        nxt = starts_ref[j, b, 0]
+        nxt = starts_ref[(j * nb + b) * NW]
         found = jnp.zeros((), jnp.bool_)
         for j2 in range(ncols - 1, j, -1):
-            has = wcnt_ref[j2, b] > 0
-            nxt = jnp.where(has, starts_ref[j2, b, 0], nxt)
+            has = wcnt_ref[j2 * nb + b] > 0
+            nxt = jnp.where(has, starts_ref[(j2 * nb + b) * NW], nxt)
             found = found | has
-        in_col = w + 1 < wcnt_ref[j, b]
-        nxt = jnp.where(in_col, starts_ref[j, b, jnp.minimum(w + 1, NW - 1)],
-                        nxt)
+        in_col = w + 1 < wcnt_ref[j * nb + b]
+        nxt = jnp.where(
+            in_col,
+            starts_ref[(j * nb + b) * NW + jnp.minimum(w + 1, NW - 1)], nxt)
         return nxt, in_col | found
 
     # warm-up: first item's DMA (skipped when the block has no items at
     # all, e.g. padding blocks past the valid rows)
-    first = starts_ref[0, b, 0]
-    total = wcnt_ref[0, b]
+    first = starts_ref[b * NW]
+    total = wcnt_ref[b]
     for j2 in range(ncols - 1, 0, -1):
-        total += wcnt_ref[j2, b]
+        total += wcnt_ref[j2 * nb + b]
     for j2 in range(ncols - 1, -1, -1):
-        first = jnp.where(wcnt_ref[j2, b] > 0, starts_ref[j2, b, 0], first)
+        first = jnp.where(wcnt_ref[j2 * nb + b] > 0,
+                          starts_ref[(j2 * nb + b) * NW], first)
 
     if DOUBLE_BUF:
         @pl.when(total > 0)
@@ -364,7 +371,7 @@ def _bwd_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
                 def _():
                     dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
 
-            start = pl.multiple_of(starts_ref[j, b, w], 8)
+            start = pl.multiple_of(starts_ref[(j * nb + b) * NW + w], 8)
             if not DOUBLE_BUF:
                 dma(slot, start).start()
             dma(slot, start).wait()
@@ -391,7 +398,7 @@ def _bwd_kernel(ncols, cin, cout, starts_ref, wcnt_ref, base_ref, bits_ref,
                 fb, gp, dims, preferred_element_type=f32)
             return item + 1
 
-        return jax.lax.fori_loop(0, wcnt_ref[j, b], body, item0)
+        return jax.lax.fori_loop(0, wcnt_ref[j * nb + b], body, item0)
 
     item = 0
     for j in range(ncols):
@@ -410,7 +417,7 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
     nb = np_pad // BLK
-    kern = partial(_bwd_kernel, ncols, cin, cout)
+    kern = partial(_bwd_kernel, ncols, cin, cout, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -440,8 +447,8 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(plan["starts"], plan["wcnt"], plan["base"], plan["bits"],
-      w3d_p, wt_cols, feats_p)
+    )(plan["starts"].reshape(-1), plan["wcnt"].reshape(-1), plan["base"],
+      plan["bits"], w3d_p, wt_cols, feats_p)
 
 
 # -------------------------------------------------------------- wrappers --
