@@ -34,10 +34,10 @@ def _lovasz_class(errors: jax.Array, fg: jax.Array) -> jax.Array:
 
     Custom VJP: d loss / d errors[i] = lovasz_grad[rank(i)] (the loss is
     linear in the sorted errors; the permutation and fg carry no gradient).
-    Expressing this as a gather by rank replaces autodiff's
-    scatter-through-the-sort, which profiled at 14.6 ms/step on v5e
-    (scatters cost ~3x gathers per row on TPU). rank is recovered with one
-    extra int sort in the forward.
+    The unpermute is expressed as an int-key sort of (perm, grad) — a
+    batched TPU sort of [C, N] costs ~3 ms/step where the equivalent
+    gather-by-rank profiled at 20 ms (1-D scalar gathers) and autodiff's
+    scatter-through-the-sort at 14.6 ms.
     """
     neg_err, fg_sorted = jax.lax.sort((-errors, fg), num_keys=1)
     return jnp.dot(-neg_err, _lovasz_grad(fg_sorted))
@@ -49,16 +49,15 @@ def _lovasz_class_fwd(errors, fg):
     neg_err, fg_sorted, perm = jax.lax.sort((-errors, fg, iota), num_keys=1)
     grad = _lovasz_grad(fg_sorted)
     loss = jnp.dot(-neg_err, grad)
-    # rank[i] = position of row i in the sorted order (perm inverted by
-    # sorting (perm, iota) — perm is a permutation so the carried iota at
-    # slot i is exactly rank(i))
-    _, rank = jax.lax.sort((perm, iota), num_keys=1)
-    return loss, (grad, rank)
+    return loss, (grad, perm)
 
 
 def _lovasz_class_bwd(res, g):
-    grad, rank = res
-    return (g * grad[rank], jnp.zeros_like(grad))
+    grad, perm = res
+    # unpermute grad to original row order: sorting (perm, grad) by the
+    # permutation carries grad[j] to slot perm[j]
+    _, derr = jax.lax.sort((perm, grad), num_keys=1)
+    return (g * derr, jnp.zeros_like(grad))
 
 
 _lovasz_class.defvjp(_lovasz_class_fwd, _lovasz_class_bwd)

@@ -53,14 +53,13 @@ import os as _os
 
 BLK = int(_os.environ.get("OPENPCSEG_PALLAS_BLK", 512))   # rows per step
 WIN = int(_os.environ.get("OPENPCSEG_PALLAS_WIN", 512))   # window rows
-NW = int(_os.environ.get("OPENPCSEG_PALLAS_NW", 16))      # max windows
+NW = int(_os.environ.get("OPENPCSEG_PALLAS_NW", 16))      # max windows/col
+NWT = int(_os.environ.get("OPENPCSEG_PALLAS_NWT", 64))    # max windows/block
 # scoped-VMEM ceiling for the fused backward: the dW accumulator
 # [3*ncols, Cin, Cout] f32 plus weights/windows exceeds the 16 MB default
 # at the decoder's 384-in/256-out level (~20 MB); v5e VMEM is larger than
 # the default scoped limit, so raise it for our kernels.
 VMEM_LIMIT = int(_os.environ.get("OPENPCSEG_PALLAS_VMEM", 32 * 2 ** 20))
-# double-buffered window prefetch (0 = serialize DMA-then-compute; debug)
-DOUBLE_BUF = _os.environ.get("OPENPCSEG_PALLAS_DB", "1") == "1"
 # The one-hot dot FLOPs scale with WIN while coverage needs only the
 # per-block cluster spread (med ~500, p99 ~2700 on ray-cast scans): WIN=512
 # with generous NW wins over fewer, wider windows because the fori_loop
@@ -150,8 +149,39 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
         return cov
 
     overflow = jnp.any(hb & ~in_any(bb))
+
+    # flat per-block item list (column-major over (column, window)): the
+    # kernel iterates ONE flat sequence with per-item (start, col) read
+    # straight from SMEM — replaces the per-unit O(ncols) next-start select
+    # chains and gives the software pipeline a uniform item index.
+    ncols = len(win_cols)
+    offs = jnp.concatenate(
+        [jnp.zeros((1, nb), jnp.int32), jnp.cumsum(cnt, axis=0)], axis=0
+    )                                                        # [ncols+1, nb]
+    total = offs[-1]                                         # [nb]
+    wi = jnp.arange(NW, dtype=jnp.int32)
+    dest = jnp.where(wi[None, None, :] < cnt[..., None],
+                     offs[:-1][..., None] + wi[None, None, :], NWT)
+    dflat = dest.transpose(1, 0, 2).reshape(nb, ncols * NW)
+    sflat = starts.transpose(1, 0, 2).reshape(nb, ncols * NW)
+    cflat = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(ncols, dtype=jnp.int32), NW)[None],
+        (nb, ncols * NW))
+    _, it_start, it_col = jax.lax.sort(
+        (dflat, sflat, cflat), num_keys=1, dimension=1)
+    pad_it = max(NWT - ncols * NW, 0)
+    if pad_it:
+        it_start = jnp.pad(it_start, ((0, 0), (0, pad_it)))
+        it_col = jnp.pad(it_col, ((0, 0), (0, pad_it)))
+    it_start = it_start[:, :NWT]
+    it_col = it_col[:, :NWT]
+    overflow = overflow | jnp.any(total > NWT)
+    it_off = jnp.minimum(offs.T, NWT).astype(jnp.int32)      # [nb, ncols+1]
+
     return dict(base=base, bits=bits, starts=starts, wcnt=cnt,
-                overflow=overflow, n_pad=np_pad, ncols=len(win_cols))
+                it_off=it_off.reshape(-1), it_col=it_col.reshape(-1),
+                it_start=it_start.reshape(-1),
+                overflow=overflow, n_pad=np_pad, ncols=ncols)
 
 
 # ---------------------------------------------------------------- kernels --
@@ -175,80 +205,73 @@ def _masked_slots(g, bits, c, cdt):
     return s0 * a0 + s1 * a1, s1 * b1, s1 * c1 + s2 * c2
 
 
-def _fwd_kernel(ncols, c, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
+def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
+    """Shared flat-item machinery of the fwd/bwd kernels.
+
+    Flat item sequence (column-major (column, window)) via the it_* SMEM
+    arrays — one scalar read per item replaces the O(ncols) per-item
+    next-start select chains of the round-3 v3 kernel. Window DMAs are
+    double-buffered across the whole sequence. The one-hot itself is
+    deliberately built IMMEDIATELY before its dot in the loop body: an
+    experiment that double-buffered it one item ahead (to overlap the VPU
+    build with the MXU dot) measured 36% SLOWER — the cross-iteration
+    scratch dependency forces a 512 KB VMEM round-trip per item that
+    Mosaic otherwise elides by forwarding the fresh one-hot to the MXU.
+    """
+    total = itoff_ref[b * (ncols + 1) + ncols]
+
+    def st(i):
+        return pl.multiple_of(
+            itst_ref[b * NWT + jnp.minimum(i, NWT - 1)], 8)
+
+    def dma(slot, start):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
+            sem.at[slot])
+
+    return total, st, dma
+
+
+def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
+                base_ref, bits_ref,
                 w3_hbm, w_ref, o_ref, acc_ref, oh_ref, win_ref, sem):
     """Grid (nb,): one BLK-row output block per step.
 
-    starts [ncols*nb*NW] + wcnt [ncols*nb] scalar-prefetch (SMEM; flat 1-D
-    because Mosaic pads each SMEM operand's LAST dim to 128 lanes — the
-    [ncols, nb, NW=16] layout 8x-inflates and overflows the 1 MB SMEM at
-    batch >= 2);
-    base/bits [ncols, BLK] VMEM blocks; w3_hbm [Np+WIN, 3C] stays in HBM —
-    windows are DMA'd per (column, window) into the double-buffered
+    it_off [nb*(ncols+1)] / it_col, it_start [nb*NWT] scalar-prefetch
+    (SMEM; flat 1-D because Mosaic pads each SMEM operand's LAST dim to
+    128 lanes — 2-D layouts inflate and overflow the 1 MB SMEM at
+    batch >= 2); base/bits [ncols, BLK] VMEM blocks; w3_hbm [Np+WIN, 3C]
+    stays in HBM — windows are DMA'd per item into the double-buffered
     win_ref [2, WIN, 3C]; w [ncols*3, C, cout] whole in VMEM.
     """
     b = pl.program_id(0)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
     cdt = win_ref.dtype
-
-    def dma(slot, start):
-        return pltpu.make_async_copy(
-            w3_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
-            sem.at[slot])
-
-    # double-buffer across the flat (column, window) sequence: window w of
-    # column j prefetches (j, w+1) when it exists, else the first window
-    # of the next non-empty column (found with static-unrolled selects).
-    def next_start(j, w):
-        # start of the item after (j, w); garbage if none remains (the
-        # extra DMA is harmless — it is never waited past the last item)
-        nxt = starts_ref[(j * nb + b) * NW]
-        found = jnp.zeros((), jnp.bool_)
-        for j2 in range(ncols - 1, j, -1):
-            has = wcnt_ref[j2 * nb + b] > 0
-            nxt = jnp.where(has, starts_ref[(j2 * nb + b) * NW], nxt)
-            found = found | has
-        in_col = w + 1 < wcnt_ref[j * nb + b]
-        nxt = jnp.where(
-            in_col,
-            starts_ref[(j * nb + b) * NW + jnp.minimum(w + 1, NW - 1)], nxt)
-        return nxt, in_col | found
+    total, st, dma = _pipeline_helpers(
+        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm)
 
     # warm-up: first item's DMA — predicated on the block having ANY item:
     # an unconsumed start on an all-padding block leaves its DMA semaphore
     # signaled at kernel exit (runtime fault / next-block corruption)
-    first = starts_ref[b * NW]
-    total = wcnt_ref[b]
-    for j2 in range(ncols - 1, 0, -1):
-        total += wcnt_ref[j2 * nb + b]
-    for j2 in range(ncols - 1, -1, -1):
-        first = jnp.where(wcnt_ref[j2 * nb + b] > 0,
-                          starts_ref[(j2 * nb + b) * NW], first)
+    @pl.when(total > 0)
+    def _():
+        dma(0, st(0)).start()
 
-    if DOUBLE_BUF:
-        @pl.when(total > 0)
-        def _():
-            dma(0, pl.multiple_of(first, 8)).start()
-
-    def col_body(j, item0):
-        loc_abs = base_ref[j, :]                         # [BLK]
+    def col_body(j, _unused):
+        loc_abs = base_ref[j, :]                             # [BLK]
         bits = bits_ref[j, :]
 
-        def body(w, item):
-            slot = item % 2
-            if DOUBLE_BUF:
-                nxt, has_next = next_start(j, w)
+        def body(i, _):
+            slot = i % 2
+            nslot = (i + 1) % 2
 
-                @pl.when(has_next)
-                def _():
-                    dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
+            @pl.when(i + 1 < total)
+            def _():
+                dma(nslot, st(i + 1)).start()
 
-            start = pl.multiple_of(starts_ref[(j * nb + b) * NW + w], 8)
-            if not DOUBLE_BUF:
-                dma(slot, start).start()
-            dma(slot, start).wait()
-            loc = loc_abs - start
+            dma(slot, st(i)).wait()
+            loc = loc_abs - st(i)
             iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
             oh_ref[:] = (iota == loc[:, None]).astype(cdt)
             g = jnp.dot(oh_ref[:], win_ref[slot],
@@ -260,13 +283,15 @@ def _fwd_kernel(ncols, c, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
                                   preferred_element_type=f32)
             acc_ref[:] += jnp.dot(gp, w_ref[3 * j + 2],
                                   preferred_element_type=f32)
-            return item + 1
+            return 0
 
-        return jax.lax.fori_loop(0, wcnt_ref[j * nb + b], body, item0)
+        lo = itoff_ref[b * (ncols + 1) + j]
+        hi = itoff_ref[b * (ncols + 1) + j + 1]
+        jax.lax.fori_loop(lo, hi, body, 0)
+        return 0
 
-    item = 0
     for j in range(ncols):
-        item = col_body(j, item)
+        col_body(j, 0)
 
     o_ref[:] = acc_ref[:]
 
@@ -280,15 +305,15 @@ def _run_fwd(w3_p, w_cols, plan):
     cout = w_cols.shape[-1]
     kern = partial(_fwd_kernel, ncols, c, cout, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                       # starts, wcnt -> SMEM
+        num_scalar_prefetch=3,            # it_off, it_col, it_start -> SMEM
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # base blk
-            pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # bits blk
+            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # base
+            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # bits
             pl.BlockSpec(memory_space=pl.ANY),    # w3 stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # weights whole
         ],
-        out_specs=pl.BlockSpec((BLK, cout), lambda b, s, w: (b, 0)),
+        out_specs=pl.BlockSpec((BLK, cout), lambda b, o, cl, s: (b, 0)),
         scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32),
                         pltpu.VMEM((BLK, WIN), w3_p.dtype),
                         pltpu.VMEM((2, WIN, w3_p.shape[1]), w3_p.dtype),
@@ -300,11 +325,12 @@ def _run_fwd(w3_p, w_cols, plan):
         out_shape=jax.ShapeDtypeStruct((np_pad, cout), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(plan["starts"].reshape(-1), plan["wcnt"].reshape(-1), plan["base"],
+    )(plan["it_off"], plan["it_col"], plan["it_start"], plan["base"],
       plan["bits"], w3_p, w_cols)
 
 
-def _bwd_kernel(ncols, cin, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
+def _bwd_kernel(ncols, cin, cout, nb, itoff_ref, itcol_ref, itst_ref,
+                base_ref, bits_ref,
                 w3d_hbm, wt_ref, featsb_ref, df_ref, dw_ref,
                 acc_ref, oh_ref, win_ref, dwacc_ref, sem):
     """Fused backward, grid (nb,): per block, gather the dout w3 windows
@@ -312,7 +338,8 @@ def _bwd_kernel(ncols, cin, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
     flipped-transposed weights wt [ncols*3, cout, cin]) and the dW
     accumulation dwacc[3j+s] += feats_block^T @ slot_s (the transpose
     pairing of the forward, enumerated by input row). Round 2 ran two
-    kernels and gathered dout twice.
+    kernels and gathered dout twice. Same flat-item software pipeline as
+    the forward (see _pipeline_helpers).
     """
     b = pl.program_id(0)
 
@@ -324,58 +351,27 @@ def _bwd_kernel(ncols, cin, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
     f32 = jnp.float32
     cdt = win_ref.dtype
     fb = featsb_ref[:]                                   # [BLK, cin]
+    total, st, dma = _pipeline_helpers(
+        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm)
 
-    def dma(slot, start):
-        return pltpu.make_async_copy(
-            w3d_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
-            sem.at[slot])
+    @pl.when(total > 0)
+    def _():
+        dma(0, st(0)).start()
 
-    def next_start(j, w):
-        nxt = starts_ref[(j * nb + b) * NW]
-        found = jnp.zeros((), jnp.bool_)
-        for j2 in range(ncols - 1, j, -1):
-            has = wcnt_ref[j2 * nb + b] > 0
-            nxt = jnp.where(has, starts_ref[(j2 * nb + b) * NW], nxt)
-            found = found | has
-        in_col = w + 1 < wcnt_ref[j * nb + b]
-        nxt = jnp.where(
-            in_col,
-            starts_ref[(j * nb + b) * NW + jnp.minimum(w + 1, NW - 1)], nxt)
-        return nxt, in_col | found
-
-    # warm-up: first item's DMA (skipped when the block has no items at
-    # all, e.g. padding blocks past the valid rows)
-    first = starts_ref[b * NW]
-    total = wcnt_ref[b]
-    for j2 in range(ncols - 1, 0, -1):
-        total += wcnt_ref[j2 * nb + b]
-    for j2 in range(ncols - 1, -1, -1):
-        first = jnp.where(wcnt_ref[j2 * nb + b] > 0,
-                          starts_ref[(j2 * nb + b) * NW], first)
-
-    if DOUBLE_BUF:
-        @pl.when(total > 0)
-        def _():
-            dma(0, pl.multiple_of(first, 8)).start()
-
-    def col_body(j, item0):
+    def col_body(j, _unused):
         loc_abs = base_ref[j, :]
         bits = bits_ref[j, :]
 
-        def body(w, item):
-            slot = item % 2
-            if DOUBLE_BUF:
-                nxt, has_next = next_start(j, w)
+        def body(i, _):
+            slot = i % 2
+            nslot = (i + 1) % 2
 
-                @pl.when(has_next)
-                def _():
-                    dma((item + 1) % 2, pl.multiple_of(nxt, 8)).start()
+            @pl.when(i + 1 < total)
+            def _():
+                dma(nslot, st(i + 1)).start()
 
-            start = pl.multiple_of(starts_ref[(j * nb + b) * NW + w], 8)
-            if not DOUBLE_BUF:
-                dma(slot, start).start()
-            dma(slot, start).wait()
-            loc = loc_abs - start
+            dma(slot, st(i)).wait()
+            loc = loc_abs - st(i)
             iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
             oh_ref[:] = (iota == loc[:, None]).astype(cdt)
             g = jnp.dot(oh_ref[:], win_ref[slot],
@@ -396,13 +392,15 @@ def _bwd_kernel(ncols, cin, cout, nb, starts_ref, wcnt_ref, base_ref, bits_ref,
                 fb, g0, dims, preferred_element_type=f32)
             dwacc_ref[3 * j + 2] += jax.lax.dot_general(
                 fb, gp, dims, preferred_element_type=f32)
-            return item + 1
+            return 0
 
-        return jax.lax.fori_loop(0, wcnt_ref[j * nb + b], body, item0)
+        lo = itoff_ref[b * (ncols + 1) + j]
+        hi = itoff_ref[b * (ncols + 1) + j + 1]
+        jax.lax.fori_loop(lo, hi, body, 0)
+        return 0
 
-    item = 0
     for j in range(ncols):
-        item = col_body(j, item)
+        col_body(j, 0)
 
     df_ref[:] = acc_ref[:]
 
@@ -419,17 +417,17 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
     nb = np_pad // BLK
     kern = partial(_bwd_kernel, ncols, cin, cout, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # base blk
-            pl.BlockSpec((ncols, BLK), lambda b, s, w: (0, b)),  # bits blk
+            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # base
+            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # bits
             pl.BlockSpec(memory_space=pl.ANY),                # w3(dout)
             pl.BlockSpec(memory_space=pltpu.VMEM),               # wt whole
-            pl.BlockSpec((BLK, cin), lambda b, s, w: (b, 0)),    # feats blk
+            pl.BlockSpec((BLK, cin), lambda b, o, cl, s: (b, 0)),  # feats
         ],
         out_specs=(
-            pl.BlockSpec((BLK, cin), lambda b, s, w: (b, 0)),    # dfeats
+            pl.BlockSpec((BLK, cin), lambda b, o, cl, s: (b, 0)),  # dfeats
             pl.BlockSpec(memory_space=pltpu.VMEM),               # dW whole
         ),
         scratch_shapes=[pltpu.VMEM((BLK, cin), jnp.float32),
@@ -447,7 +445,7 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(plan["starts"].reshape(-1), plan["wcnt"].reshape(-1), plan["base"],
+    )(plan["it_off"], plan["it_col"], plan["it_start"], plan["base"],
       plan["bits"], w3d_p, wt_cols, feats_p)
 
 
@@ -534,36 +532,37 @@ def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
         plan["overflow"], xla_branch, pallas_branch, feats, weights)
 
 
-def _plan_from_args(base, bits, starts, wcnt, overflow):
-    return dict(base=base, bits=bits, starts=starts, wcnt=wcnt,
-                overflow=overflow, n_pad=base.shape[1],
+def _plan_from_args(base, bits, it_off, it_col, it_start, overflow):
+    return dict(base=base, bits=bits, it_off=it_off, it_col=it_col,
+                it_start=it_start, overflow=overflow, n_pad=base.shape[1],
                 ncols=base.shape[0])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _pallas_conv_core(feats, weights, offsets_key, compute_dtype, kmap,
-                      plan_base, plan_bits, plan_starts, plan_wcnt,
-                      plan_overflow):
-    plan = _plan_from_args(plan_base, plan_bits, plan_starts, plan_wcnt,
-                           plan_overflow)
+                      plan_base, plan_bits, plan_it_off, plan_it_col,
+                      plan_it_start, plan_overflow):
+    plan = _plan_from_args(plan_base, plan_bits, plan_it_off, plan_it_col,
+                           plan_it_start, plan_overflow)
     return _fwd_or_fallback(feats, weights, kmap, offsets_key,
                             compute_dtype, plan)
 
 
 def _core_fwd(feats, weights, offsets_key, compute_dtype, kmap,
-              plan_base, plan_bits, plan_starts, plan_wcnt, plan_overflow):
+              plan_base, plan_bits, plan_it_off, plan_it_col,
+              plan_it_start, plan_overflow):
     out = _pallas_conv_core(feats, weights, offsets_key, compute_dtype,
-                            kmap, plan_base, plan_bits, plan_starts,
-                            plan_wcnt, plan_overflow)
-    return out, (feats, weights, kmap, plan_base, plan_bits, plan_starts,
-                 plan_wcnt, plan_overflow)
+                            kmap, plan_base, plan_bits, plan_it_off,
+                            plan_it_col, plan_it_start, plan_overflow)
+    return out, (feats, weights, kmap, plan_base, plan_bits, plan_it_off,
+                 plan_it_col, plan_it_start, plan_overflow)
 
 
 def _core_bwd(offsets_key, compute_dtype, res, dout):
-    (feats, weights, kmap, plan_base, plan_bits, plan_starts,
-     plan_wcnt, plan_overflow) = res
-    plan = _plan_from_args(plan_base, plan_bits, plan_starts, plan_wcnt,
-                           plan_overflow)
+    (feats, weights, kmap, plan_base, plan_bits, plan_it_off,
+     plan_it_col, plan_it_start, plan_overflow) = res
+    plan = _plan_from_args(plan_base, plan_bits, plan_it_off, plan_it_col,
+                           plan_it_start, plan_overflow)
     k, cin, cout = weights.shape
     cdt = compute_dtype
 
@@ -586,7 +585,7 @@ def _core_bwd(offsets_key, compute_dtype, res, dout):
     dfeats, dw = jax.lax.cond(
         plan_overflow, xla_branch, pallas_branch, feats, weights, dout)
     return (dfeats.astype(feats.dtype), dw.astype(weights.dtype), None,
-            None, None, None, None, None)
+            None, None, None, None, None, None)
 
 
 _pallas_conv_core.defvjp(_core_fwd, _core_bwd)
@@ -608,7 +607,7 @@ def pallas_window_subm_conv(
     plan = build_window_plan(kmap, key)
     out = _pallas_conv_core(
         feats, weights, key, compute_dtype, kmap,
-        plan["base"], plan["bits"], plan["starts"], plan["wcnt"],
-        plan["overflow"])
+        plan["base"], plan["bits"], plan["it_off"], plan["it_col"],
+        plan["it_start"], plan["overflow"])
     out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(jnp.promote_types(feats.dtype, compute_dtype))
