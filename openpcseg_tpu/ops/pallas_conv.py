@@ -55,6 +55,11 @@ BLK = int(_os.environ.get("OPENPCSEG_PALLAS_BLK", 512))   # rows per step
 WIN = int(_os.environ.get("OPENPCSEG_PALLAS_WIN", 512))   # window rows
 NW = int(_os.environ.get("OPENPCSEG_PALLAS_NW", 16))      # max windows/col
 NWT = int(_os.environ.get("OPENPCSEG_PALLAS_NWT", 64))    # max windows/block
+# DMA pipeline depth: 4-deep measured slightly WORSE than plain double
+# buffering (L0 4.06 vs 3.99 ms, L1 3.67 vs 3.32) — the per-item stall is
+# not DMA latency (see _pipeline_helpers), so extra slots only add VMEM
+# pressure. Keep the knob for future probing.
+NSLOT = int(_os.environ.get("OPENPCSEG_PALLAS_NSLOT", 2))
 # scoped-VMEM ceiling for the fused backward: the dW accumulator
 # [3*ncols, Cin, Cout] f32 plus weights/windows exceeds the 16 MB default
 # at the decoder's 384-in/256-out level (~20 MB); v5e VMEM is larger than
@@ -211,12 +216,15 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
     Flat item sequence (column-major (column, window)) via the it_* SMEM
     arrays — one scalar read per item replaces the O(ncols) per-item
     next-start select chains of the round-3 v3 kernel. Window DMAs are
-    double-buffered across the whole sequence. The one-hot itself is
-    deliberately built IMMEDIATELY before its dot in the loop body: an
-    experiment that double-buffered it one item ahead (to overlap the VPU
-    build with the MXU dot) measured 36% SLOWER — the cross-iteration
-    scratch dependency forces a 512 KB VMEM round-trip per item that
-    Mosaic otherwise elides by forwarding the fresh one-hot to the MXU.
+    prefetched NSLOT-deep: a (BLK, WIN) sweep showed per-item time nearly
+    independent of the dot size — the bottleneck was the ~1-2 us HBM DMA
+    latency of a 1-ahead prefetch, stalling every item's wait. The one-hot
+    itself is deliberately built IMMEDIATELY before its dot in the loop
+    body: an experiment that double-buffered it one item ahead (to overlap
+    the VPU build with the MXU dot) measured 36% SLOWER — the
+    cross-iteration scratch dependency forces a 512 KB VMEM round-trip per
+    item that Mosaic otherwise elides by forwarding the fresh one-hot to
+    the MXU.
     """
     total = itoff_ref[b * (ncols + 1) + ncols]
 
@@ -229,7 +237,16 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
             src_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
             sem.at[slot])
 
-    return total, st, dma
+    def warmup():
+        # start the first NSLOT-1 items' DMAs (each predicated: an
+        # unconsumed start on an all-padding block leaves its semaphore
+        # signaled at kernel exit -> runtime fault / block corruption)
+        for i0 in range(NSLOT - 1):
+            @pl.when(i0 < total)
+            def _():
+                dma(i0 % NSLOT, st(i0)).start()
+
+    return total, st, dma, warmup
 
 
 def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
@@ -248,27 +265,20 @@ def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
     cdt = win_ref.dtype
-    total, st, dma = _pipeline_helpers(
+    total, st, dma, warmup = _pipeline_helpers(
         ncols, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm)
-
-    # warm-up: first item's DMA — predicated on the block having ANY item:
-    # an unconsumed start on an all-padding block leaves its DMA semaphore
-    # signaled at kernel exit (runtime fault / next-block corruption)
-    @pl.when(total > 0)
-    def _():
-        dma(0, st(0)).start()
+    warmup()
 
     def col_body(j, _unused):
         loc_abs = base_ref[j, :]                             # [BLK]
         bits = bits_ref[j, :]
 
         def body(i, _):
-            slot = i % 2
-            nslot = (i + 1) % 2
+            slot = i % NSLOT
 
-            @pl.when(i + 1 < total)
+            @pl.when(i + NSLOT - 1 < total)
             def _():
-                dma(nslot, st(i + 1)).start()
+                dma((i + NSLOT - 1) % NSLOT, st(i + NSLOT - 1)).start()
 
             dma(slot, st(i)).wait()
             loc = loc_abs - st(i)
@@ -316,8 +326,8 @@ def _run_fwd(w3_p, w_cols, plan):
         out_specs=pl.BlockSpec((BLK, cout), lambda b, o, cl, s: (b, 0)),
         scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32),
                         pltpu.VMEM((BLK, WIN), w3_p.dtype),
-                        pltpu.VMEM((2, WIN, w3_p.shape[1]), w3_p.dtype),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.VMEM((NSLOT, WIN, w3_p.shape[1]), w3_p.dtype),
+                        pltpu.SemaphoreType.DMA((NSLOT,))],
     )
     return pl.pallas_call(
         kern,
@@ -351,24 +361,20 @@ def _bwd_kernel(ncols, cin, cout, nb, itoff_ref, itcol_ref, itst_ref,
     f32 = jnp.float32
     cdt = win_ref.dtype
     fb = featsb_ref[:]                                   # [BLK, cin]
-    total, st, dma = _pipeline_helpers(
+    total, st, dma, warmup = _pipeline_helpers(
         ncols, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm)
-
-    @pl.when(total > 0)
-    def _():
-        dma(0, st(0)).start()
+    warmup()
 
     def col_body(j, _unused):
         loc_abs = base_ref[j, :]
         bits = bits_ref[j, :]
 
         def body(i, _):
-            slot = i % 2
-            nslot = (i + 1) % 2
+            slot = i % NSLOT
 
-            @pl.when(i + 1 < total)
+            @pl.when(i + NSLOT - 1 < total)
             def _():
-                dma(nslot, st(i + 1)).start()
+                dma((i + NSLOT - 1) % NSLOT, st(i + NSLOT - 1)).start()
 
             dma(slot, st(i)).wait()
             loc = loc_abs - st(i)
@@ -432,9 +438,9 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
         ),
         scratch_shapes=[pltpu.VMEM((BLK, cin), jnp.float32),
                         pltpu.VMEM((BLK, WIN), w3d_p.dtype),
-                        pltpu.VMEM((2, WIN, w3d_p.shape[1]), w3d_p.dtype),
+                        pltpu.VMEM((NSLOT, WIN, w3d_p.shape[1]), w3d_p.dtype),
                         pltpu.VMEM((3 * ncols, cin, cout), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((NSLOT,))],
     )
     return pl.pallas_call(
         kern,

@@ -236,8 +236,6 @@ def main3():
         print(f"== RUN ids N={n} V={v} C={c} run={run}")
         idx, w, dout = make_case_runs(n, v, c, run, 0)
         timed("a: 8x scatter-add", variant_a, idx, w, dout, v)
-        timed("g: hoisted perm+sorted", variant_g, idx, w, dout, v)
-        timed("h: run prereduce+scatter", variant_h, idx, w, dout, v)
 
 
 if __name__ == "__main__":
