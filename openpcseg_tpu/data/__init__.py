@@ -19,7 +19,13 @@ from .waymo import (  # noqa: F401
     WaymoInferDataset,
     WaymoVoxelDataset,
 )
-from . import semantickitti_meta  # noqa: F401
+from .nuscenes import (  # noqa: F401
+    NuscenesDataset,
+    NuscFusionDataset,
+    NuscRangeViewDataset,
+    NuscVoxelDataset,
+)
+from . import nuscenes_meta, semantickitti_meta  # noqa: F401
 
 _VIEWS = {
     ("voxel", "semantickitti"): SemkittiVoxelDataset,
@@ -37,6 +43,12 @@ _VIEWS = {
     ("voxel", "waymo"): WaymoVoxelDataset,
     ("cylinder", "waymo"): WaymoVoxelDataset,
     ("fusion", "waymo"): WaymoFusionDataset,
+    # nuScenes-lidarseg: the reference dispatches these names but ships no
+    # classes (pcseg/data/__init__.py:59-87); implemented in data/nuscenes.py
+    ("voxel", "nuscenes"): NuscVoxelDataset,
+    ("cylinder", "nuscenes"): NuscVoxelDataset,
+    ("range", "nuscenes"): NuscRangeViewDataset,
+    ("fusion", "nuscenes"): NuscFusionDataset,
 }
 
 
@@ -51,12 +63,14 @@ def dataset_meta(dataset: str):
     (reference pcseg/loss/__init__.py:15-26 takes both; the reference never
     wires them — here WCELoss/GroupSoftmax get the right tables per
     dataset). cls_num_pts is None where no published table exists."""
+    from .nuscenes_meta import CLASS_NAMES as NUSC_CLASS_NAMES
     from .semantickitti_meta import CLASS_NAMES, CLS_NUM_PTS
 
     return {
         "semantickitti": (CLASS_NAMES, CLS_NUM_PTS),
         "scribblekitti": (CLASS_NAMES, CLS_NUM_PTS),
         "waymo": (WAYMO_CLASS_NAMES, None),
+        "nuscenes": (NUSC_CLASS_NAMES, None),
     }.get(dataset, (None, None))
 
 

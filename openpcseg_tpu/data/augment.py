@@ -91,12 +91,22 @@ def lasermix(
     xyzi_a: np.ndarray, label_a: np.ndarray,
     xyzi_b: np.ndarray, label_b: np.ndarray,
     rng: np.random.Generator | None = None,
+    fov_scale: Tuple[float, float] | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Alternate inclination bands between two scans; returns the mix that
-    starts with scan A's top band (the reference returns xyzil_mix_1)."""
+    starts with scan A's top band (the reference returns xyzil_mix_1).
+
+    ``fov_scale=(lo_deg, hi_deg)`` linearly remaps the KITTI band edges
+    (defined over [-25, 3] degrees) onto another sensor's FOV — used by the
+    nuScenes reader (32-beam, [-30, 10])."""
     rng = rng or np.random.default_rng()
     strategy = rng.choice(list(_LASERMIX_BANDS))
-    edges = [e * np.pi / 180.0 for e in _LASERMIX_BANDS[strategy]]
+    edges_deg = _LASERMIX_BANDS[strategy]
+    if fov_scale is not None:
+        lo, hi = fov_scale
+        edges_deg = [lo + (e - (-25.0)) / 28.0 * (hi - lo)
+                     for e in edges_deg]
+    edges = [e * np.pi / 180.0 for e in edges_deg]
 
     inc_a = _inclination(xyzi_a)
     inc_b = _inclination(xyzi_b)

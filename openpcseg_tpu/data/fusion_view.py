@@ -65,6 +65,7 @@ class SemkittiFusionDataset(SemkittiVoxelDataset):
 
     RANGE_H = 64
     RANGE_W = 2048
+    PACK_FEAT_DIM = 5
 
     def __init__(self, data_cfgs, **kw):
         super().__init__(data_cfgs, **kw)
@@ -72,8 +73,11 @@ class SemkittiFusionDataset(SemkittiVoxelDataset):
         self.RANGE_W = data_cfgs.get("RANGE_W", self.RANGE_W)
 
     def get_sample(self, index: int, num_vote: int = 0,
-                   tta: bool = False) -> Dict[str, np.ndarray]:
-        pc = self.source[index]
+                   tta: bool = False,
+                   rng=None) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self.rng
+        src = getattr(self.source, "get_with_rng", None)
+        pc = src(index, rng) if src is not None else self.source[index]
         point = pc["xyzret"].astype(np.float32)  # x,y,z,i,ring
         labels = pc["labels"].reshape(-1)
 
@@ -89,22 +93,25 @@ class SemkittiFusionDataset(SemkittiVoxelDataset):
                 if_rotate=self.if_rotate,
                 if_tta=tta,
                 num_vote=num_vote,
-                rng=self.rng,
+                rng=rng,
             )
 
         row = (self._range_row(point)
                if hasattr(self, "_range_row") else None)
         img, pxpy = build_fusion_range_image(
-            point, self.RANGE_H, self.RANGE_W, self.rng, row=row)
+            point, self.RANGE_H, self.RANGE_W, rng, row=row)
 
         cap = self.point_cap
         if len(point) > cap:
             # one shared subset for points AND pxpy (the base _pack would
             # otherwise draw its own)
-            sel = self.rng.choice(len(point), cap, replace=False)
+            sel = rng.choice(len(point), cap, replace=False)
             point, labels, pxpy = point[sel], labels[sel], pxpy[sel]
 
-        out = self._pack(point[:, :3], point[:, :5], labels, pc["path"])
+        # feats: x,y,z,i(,ring) — PACK_FEAT_DIM 5 for 64-beam KITTI/Waymo,
+        # 4 for nuScenes (IN_FEATURE_DIM 4 configs)
+        out = self._pack(point[:, :3], point[:, :self.PACK_FEAT_DIM],
+                         labels, pc["path"], rng)
         ppxpy = np.zeros((cap, 2), np.float32)
         n = min(len(pxpy), cap)
         ppxpy[:n] = pxpy[:n]

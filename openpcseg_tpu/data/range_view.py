@@ -177,16 +177,17 @@ class SemkittiRangeViewDataset:
         self.class_names = CLASS_NAMES
         self.h = data_cfgs.get("H", 64)
         self.w = data_cfgs.get("W", 2048)
+        # sensor FOV (degrees); nuScenes subclass overrides via cfg
+        self.fov_up = float(data_cfgs.get("FOV_UP", 3.0))
+        self.fov_down = float(data_cfgs.get("FOV_DOWN", -25.0))
         self.rng = np.random.default_rng(seed + 2)
 
         # reuse the raw reader (scan-mix off: range has its own mixers)
         cfg = dict(data_cfgs)
         cfg["AUGMENT"] = "NoAugment"
         from ..config import CfgDict
-        self.source = SemantickittiDataset(
-            CfgDict(cfg), training=training, root_path=root_path,
-            if_scribble=(data_cfgs.DATASET == "scribblekitti"), seed=seed,
-        )
+        self.source = self._make_source(
+            CfgDict(cfg), training, root_path, seed)
 
         t = training
         self.if_drop = t and data_cfgs.get("IF_DROP", True)
@@ -198,6 +199,12 @@ class SemkittiRangeViewDataset:
         self.p_shift = data_cfgs.get("IF_RANGE_SHIFT", 0.0) if t else 0.0
         self.p_paste = data_cfgs.get("IF_RANGE_PASTE", 0.0) if t else 0.0
         self.p_union = data_cfgs.get("IF_RANGE_UNION", 0.0) if t else 0.0
+
+    def _make_source(self, data_cfgs, training, root_path, seed):
+        return SemantickittiDataset(
+            data_cfgs, training=training, root_path=root_path,
+            if_scribble=(data_cfgs.DATASET == "scribblekitti"), seed=seed,
+        )
 
     def __len__(self) -> int:
         return len(self.source)
@@ -260,7 +267,8 @@ class SemkittiRangeViewDataset:
         pts4 = np.concatenate(
             [pts.astype(np.float32), rem[:, None]], axis=1)
         nat = native.range_project_native(
-            pts4, lab.astype(np.int32), self.h, self.w)
+            pts4, lab.astype(np.int32), self.h, self.w,
+            self.fov_up, self.fov_down)
         if nat is not None:
             scan, label, mask = nat[0], nat[1], nat[2].astype(np.float32)
             if do_shift:
@@ -273,7 +281,9 @@ class SemkittiRangeViewDataset:
             return (scan, label, mask), pc["path"]
 
         sample = range_project(pts.astype(np.float32), rem, lab,
-                               self.h, self.w)
+                               self.h, self.w,
+                               fov_up_deg=self.fov_up,
+                               fov_down_deg=self.fov_down)
         if do_shift:
             sample = range_shift(sample, split)
         return pack_scan_tensor(sample), pc["path"]
@@ -316,8 +326,8 @@ class SemkittiRangeViewDataset:
         depth = np.maximum(np.linalg.norm(pts, 2, axis=1), 1e-8)
         yaw = -np.arctan2(pts[:, 1], pts[:, 0])
         pitch = np.arcsin(np.clip(pts[:, 2] / depth, -1, 1))
-        fov_up = 3.0 / 180.0 * np.pi
-        fov_down = -25.0 / 180.0 * np.pi
+        fov_up = self.fov_up / 180.0 * np.pi
+        fov_down = self.fov_down / 180.0 * np.pi
         fov = abs(fov_down) + abs(fov_up)
         px = np.clip(np.floor(0.5 * (yaw / np.pi + 1.0) * self.w),
                      0, self.w - 1).astype(np.int32)

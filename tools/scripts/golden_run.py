@@ -239,7 +239,7 @@ def run_surrogate(args):
     estep = jax.jit(task.eval_step)
 
     n_train, n_val = args.n_train, 16
-    losses, curve = [], []
+    losses, curve, perclass = [], [], []
     t0 = time.time()
     pend = []
     for it in range(args.steps):
@@ -258,6 +258,11 @@ def run_surrogate(args):
                 hist += np.asarray(jax.device_get(out["hist"]), np.int64)
             miou, per = miou_from_hist(hist, np.arange(num_class - 1))
             curve.append((it + 1, float(miou)))
+            # per-class IoU: mid-training mIoU dips (GOLDEN_r02 41.9->38.3
+            # while loss kept falling) come from rare-class IoU swings —
+            # one rare class losing 50 IoU points moves 19-class mIoU by
+            # ~2.6; record per-class so that is checkable
+            perclass.append((it + 1, [round(float(x), 2) for x in per]))
             print(f"step {it+1}: val mIoU {miou:.2f}", flush=True)
 
     payload = {
@@ -267,6 +272,7 @@ def run_surrogate(args):
         "n_train_scans": n_train, "n_val_scans": n_val,
         "loss_curve": losses,
         "val_miou_curve": curve,
+        "val_perclass_iou": perclass,
         "final_val_miou": curve[-1][1] if curve else None,
         "wall_s": round(time.time() - t0, 1),
         "device": str(jax.devices()[0]),
