@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from .ce import cross_entropy, focal_loss, weighted_cross_entropy  # noqa: F401
-from .dice import dice_loss, exp_log_loss  # noqa: F401
+from .dice import dice_loss, dice_loss_v1, exp_log_loss  # noqa: F401
 from .longtail import (eqlv2_init_state, eqlv2_loss,  # noqa: F401
                        group_softmax_loss, group_softmax_loss_extended)
 from .lovasz import lovasz_softmax  # noqa: F401
@@ -115,10 +115,22 @@ class Losses:
                 v = focal_loss(
                     logits, labels, valid, ignore_index=self.ignore_index
                 )
-            elif name in ("DiceLossV0", "DiceLossV1"):
+            elif name == "DiceLossV0":
                 v = dice_loss(
                     logits, labels, valid, ignore_index=self.ignore_index
                 )
+            elif name == "DiceLossV1":
+                if rng is not None:
+                    v = dice_loss_v1(
+                        logits, labels, valid, rng,
+                        ignore_index=self.ignore_index,
+                    )
+                else:
+                    # eval / no-rng path: deterministic fallback without
+                    # negative sampling
+                    v = dice_loss(
+                        logits, labels, valid, ignore_index=self.ignore_index
+                    )
             elif name == "ELLLoss":
                 v = exp_log_loss(
                     logits, labels, valid,

@@ -1,7 +1,7 @@
 """Dice-family losses over padded buffers.
 
 Reference: pcseg/loss/dice_loss_v0.py (one-hot dice), dice_loss_v1.py
-(dice w/ negative sampling -> here: plain masked dice), ell_loss.py
+(per-point binary dice with 3:1 negative sampling), ell_loss.py
 (exp-log dice+CE combo). Re-derived for static shapes: ignored/padded lanes
 are excluded from both numerator and denominator via the mask.
 """
@@ -32,6 +32,57 @@ def dice_loss(
     dice = (2.0 * inter + eps) / (denom + eps)
     pf = present.astype(jnp.float32)
     return ((1.0 - dice) * pf).sum() / jnp.maximum(pf.sum(), 1.0)
+
+
+def dice_loss_v1(
+    logits: jax.Array,   # [N, C]
+    labels: jax.Array,   # [N]
+    valid: jax.Array,    # [N]
+    rng: jax.Array,      # PRNG key (per-step)
+    *,
+    ignore_index: int = 0,
+    smooth: float = 1.0,
+    exponent: float = 2.0,
+) -> jax.Array:
+    """Per-point binary dice with 3:1 negative sampling.
+
+    Reference dice_loss_v1.py treats EVERY point as its own [1]-sized dice
+    "sample": per class i, per-point loss = 1 - (2*p*t + s)/(p^e + t^e + s)
+    with p = softmax prob of class i and t the one-hot target, then averages
+    over {all positives} ∪ {a uniformly random subset of negatives of size
+    min(3*npos, nneg)} (dice_loss_v1.py:54-71). Static-shape port: the exact
+    random subset is realized by ranking per-point uniform draws and keeping
+    ranks < tot, where tot is a traced scalar — same distribution as
+    torch.randperm(nneg)[:tot]. Classes are summed and divided by C
+    (including the ignored class, matching :96-104's total/target.shape[1]).
+    """
+    n, c = logits.shape
+    ok = valid & (labels != ignore_index) & (labels >= 0) & (labels < c)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def per_class(i, key):
+        p = probs[:, i]
+        pos = ok & (labels == i)
+        neg = ok & (labels != i)
+        npos = pos.sum()
+        tot = jnp.minimum(3 * npos, neg.sum())
+        # rank uniform draws among negatives; keep the tot smallest
+        r = jax.random.uniform(key, (n,))
+        r = jnp.where(neg, r, jnp.inf)
+        order = jnp.argsort(r)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+        sel = pos | (neg & (rank < tot))
+        t = pos.astype(jnp.float32)
+        num = 2.0 * p * t + smooth
+        den = p**exponent + t**exponent + smooth
+        loss = 1.0 - num / den
+        sf = sel.astype(jnp.float32)
+        return (loss * sf).sum() / (sf.sum() + 1e-10)
+
+    keys = jax.random.split(rng, c)
+    losses = jax.vmap(per_class)(jnp.arange(c), keys)
+    live = jnp.arange(c) != ignore_index
+    return (losses * live.astype(jnp.float32)).sum() / c
 
 
 def exp_log_loss(
