@@ -63,12 +63,22 @@ def dump_predictions(trainer: Trainer, out_dir: Path,
     import jax
 
     inv_lut = None
+    nusc_tokens = None
     if raw_ids:
         ds = trainer.cfgs.DATA.DATASET
         if ds in ("semantickitti", "scribblekitti"):
             from openpcseg_tpu.data.semantickitti_meta import (
                 LEARNING_MAP_INV_LUT)
             inv_lut = LEARNING_MAP_INV_LUT
+        elif ds == "nuscenes":
+            # official nuScenes-lidarseg submission: one uint8
+            # lidarseg/<split>/<sample_data_token>_lidarseg.bin per key
+            # frame, raw category ids (devkit eval format)
+            from openpcseg_tpu.data.nuscenes_meta import LEARNING_MAP_INV
+            inv_lut = LEARNING_MAP_INV
+            src = getattr(trainer.val_set, "source", trainer.val_set)
+            nusc_tokens = {r["path"]: r["token"]
+                           for r in getattr(src, "annos", [])}
         else:
             raise SystemExit(f"--save_raw_ids: no inverse label map for "
                              f"dataset '{ds}'")
@@ -91,7 +101,15 @@ def dump_predictions(trainer: Trainer, out_dir: Path,
             named = len(parts) >= 3 and parts[-1].endswith(".bin")
             if str(name) == "<pad>":
                 continue  # eval-padding sample (BatchLoader pad_last)
-            if inv_lut is not None:
+            if nusc_tokens is not None:
+                tok = nusc_tokens.get(str(name))
+                if tok is None:
+                    continue
+                pdir = out_dir / "lidarseg" / "val"
+                pdir.mkdir(parents=True, exist_ok=True)
+                raw = np.asarray(inv_lut)[p.astype(np.int64)].astype(np.uint8)
+                raw.tofile(pdir / f"{tok}_lidarseg.bin")
+            elif inv_lut is not None:
                 seq = parts[-3] if named else "00"
                 frame = parts[-1][:-4] if named else f"{count:06d}"
                 pdir = out_dir / "sequences" / seq / "predictions"

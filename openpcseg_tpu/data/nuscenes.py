@@ -87,6 +87,9 @@ class NuscenesDataset:
                 "label": (str(root / lidarseg[sd["token"]])
                           if sd["token"] in lidarseg else None),
                 "scene": scenes[scene_tok]["name"],
+                # sample_data token: names official lidarseg submission
+                # files (<token>_lidarseg.bin)
+                "token": sd["token"],
             })
         records.sort(key=lambda r: r["path"])
 

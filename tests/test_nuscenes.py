@@ -176,3 +176,53 @@ def test_semi_sup_split_file(tmp_path):
                    "AUGMENT": "NoAugment", "SPLIT_FILE": str(sf)})
     restricted = NuscenesDataset(cfg, training=True)
     assert len(restricted.annos) == 1
+
+
+def test_raw_id_submission_dump(tmp_path):
+    """--save_raw_ids for nuScenes: official lidarseg submission layout
+    (<sample_data_token>_lidarseg.bin, uint8 raw category ids)."""
+    import jax
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from infer import dump_predictions
+    from openpcseg_tpu.data.nuscenes import NuscenesDataset
+
+    root = make_mini_nuscenes(str(tmp_path / "nusc"))
+    cfg = CfgDict({"DATASET": "nuscenes", "DATA_PATH": root,
+                   "AUGMENT": "NoAugment"})
+    src = NuscenesDataset(cfg, training=False)
+    rec = src.annos[0]
+    n = 64
+
+    class StubTask:
+        def predict_step(self, state, batch):
+            return jnp.tile(jnp.arange(17, dtype=jnp.int32), n // 17 + 1)[
+                None, :n]
+
+    class StubTrainer:
+        cfgs = CfgDict({"DATA": {"DATASET": "nuscenes"}})
+        val_set = src
+        task = StubTask()
+        state = None
+        val_loader = [{
+            "name": [rec["path"]],
+            "valid": np.ones((1, n), bool),
+        }]
+
+        def _device_batch(self, b):
+            # the real Trainer._device_batch strips non-array fields
+            return {k: v for k, v in b.items() if k != "name"}
+
+    out = tmp_path / "preds"
+    cnt = dump_predictions(StubTrainer(), Path(out), raw_ids=True)
+    assert cnt == 1
+    f = out / "lidarseg" / "val" / f"{rec['token']}_lidarseg.bin"
+    assert f.exists()
+    raw = np.fromfile(f, np.uint8)
+    assert len(raw) == n
+    # every id inverts back to its train id
+    from openpcseg_tpu.data.nuscenes_meta import LEARNING_MAP_LUT
+    preds = np.asarray(
+        StubTask().predict_step(None, None))[0]
+    assert (LEARNING_MAP_LUT[raw] == preds).all()
