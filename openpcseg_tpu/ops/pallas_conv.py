@@ -71,10 +71,61 @@ VMEM_LIMIT = int(_os.environ.get("OPENPCSEG_PALLAS_VMEM", 32 * 2 ** 20))
 # window count is dynamic (mean ~1.1) and misses are free.
 
 
+# ------------------------------------------------------------ size policy --
+#
+# Every kernel item (column-window) pays a fixed ~1-2 us DMA-latency stall
+# (see _pipeline_helpers), so FEWER, LARGER items win when VMEM allows:
+# doubling (BLK, WIN) halves the item count at roughly constant per-item
+# cost. The policy picks the largest (blk, win) pair whose fwd+bwd scratch
+# fits the scoped-VMEM budget for the conv's channel widths.
+#
+#   OPENPCSEG_PALLAS_POLICY=off   -> always the BLK/WIN module defaults
+#   OPENPCSEG_PALLAS_POLICY=auto  -> VMEM-model ladder (default)
+#   OPENPCSEG_PALLAS_POLICY=b:w,b:w,...  -> explicit ladder, tried in order
+
+def _vmem_cost(blk: int, win: int, ncols: int, cin: int, cout: int) -> int:
+    """Upper-bound VMEM bytes for the *backward* kernel (strictly larger
+    than the forward: adds the dW accumulator, the feats block and the
+    wider-of-the-two staged w3 tables)."""
+    lanes = max(-(-3 * cin // 128) * 128, -(-3 * cout // 128) * 128)
+    oh = blk * win * 2
+    winbuf = NSLOT * win * lanes * 2
+    acc = blk * max(cin, cout) * 4 * 2          # acc scratch + blocked out
+    dw = 3 * ncols * cin * cout * 4             # dW accumulator (f32)
+    w = 3 * ncols * cin * cout * 2 * 2          # wt VMEM + dw out
+    feats = blk * cin * 2
+    plan = 2 * ncols * blk * 4                  # base + bits blocks
+    return oh + winbuf + acc + dw + w + feats + plan
+
+
+def _size_policy(ncols: int, cin: int, cout: int) -> Tuple[int, int]:
+    """(blk, win) for one conv: largest ladder entry fitting the VMEM
+    budget; module BLK/WIN (env-overridable, test-monkeypatchable) are the
+    floor and the `off` behavior."""
+    # default stays "off" until the auto ladder is TPU-validated (flip
+    # after BENCH shows the 2x sizes win end-to-end)
+    spec = _os.environ.get("OPENPCSEG_PALLAS_POLICY", "off")
+    if spec == "off":
+        return BLK, WIN
+    if spec == "auto":
+        ladder = [(2 * BLK, 2 * WIN)]
+    else:
+        ladder = [tuple(int(v) for v in e.split(":"))
+                  for e in spec.split(",")]
+    budget = int(VMEM_LIMIT * 0.85)
+    for blk, win in ladder:
+        if blk >= BLK and win >= WIN and \
+                _vmem_cost(blk, win, ncols, cin, cout) <= budget:
+            return blk, win
+    return BLK, WIN
+
+
 # ------------------------------------------------------------------ plan --
 
 
-def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
+def build_window_plan(kmap: jax.Array, offsets_key,
+                      blk: int | None = None,
+                      win: int | None = None) -> dict:
     """XLA-side precompute shared by fwd/bwd kernels.
 
     Returns dict with:
@@ -82,14 +133,18 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
       bits  [ncols, Np]   int32 mask bitfield (a0|a1<<1|b1<<2|c1<<3|c2<<4)
       starts[ncols, nb, NW] int32 8-aligned disjoint window starts
       overflow            bool scalar — some base escaped both windows
-    Np is N padded up to a BLK multiple. Depends only on the kernel map →
+    Np is N padded up to a `blk` multiple. Depends only on the kernel map →
     one plan serves every conv at the level (and fwd + bwd share it).
+    blk/win default to the module BLK/WIN (see _size_policy for the
+    channel-aware selection used by the production entry point).
     """
+    blk = BLK if blk is None else blk
+    win = WIN if win is None else win
     win_cols, plain = _COLUMN_PLANS[offsets_key]
     assert not plain, "pallas window conv requires full z-extent columns"
     n = kmap.shape[1]
-    np_pad = -(-n // BLK) * BLK
-    nb = np_pad // BLK
+    np_pad = -(-n // blk) * blk
+    nb = np_pad // blk
 
     bases, bits_l = [], []
     for _is_center, rows in win_cols:
@@ -117,8 +172,8 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
         base = jnp.pad(base, pad)
         bits = jnp.pad(bits, pad)
 
-    bb = base.reshape(len(win_cols), nb, BLK)
-    hb = (bits.reshape(len(win_cols), nb, BLK) != 0)
+    bb = base.reshape(len(win_cols), nb, blk)
+    hb = (bits.reshape(len(win_cols), nb, blk) != 0)
     big = jnp.int32(2 ** 30)
     bbv = jnp.where(hb, bb, big)                          # miss -> +inf
 
@@ -137,9 +192,9 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
         has = nxt < big
         s = jnp.maximum((nxt // 8) * 8, 0)
         s = jnp.maximum(s, end + 1)                        # disjoint
-        s = jnp.where(has, s, end + 1 + WIN)               # park empties
+        s = jnp.where(has, s, end + 1 + win)               # park empties
         starts_l.append(s)
-        end = s + WIN - 1
+        end = s + win - 1
         cnt = cnt + has.astype(jnp.int32)
     starts = jnp.stack(starts_l, axis=-1).astype(jnp.int32)  # [ncols,nb,NW]
     # parked (unused) slots chain past the data; clamp so even a spurious
@@ -150,7 +205,7 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
         cov = jnp.zeros(r.shape, bool)
         for w in range(NW):
             s = starts[..., w][..., None]
-            cov = cov | ((r >= s) & (r < s + WIN))
+            cov = cov | ((r >= s) & (r < s + win))
         return cov
 
     overflow = jnp.any(hb & ~in_any(bb))
@@ -186,7 +241,8 @@ def build_window_plan(kmap: jax.Array, offsets_key) -> dict:
     return dict(base=base, bits=bits, starts=starts, wcnt=cnt,
                 it_off=it_off.reshape(-1), it_col=it_col.reshape(-1),
                 it_start=it_start.reshape(-1),
-                overflow=overflow, n_pad=np_pad, ncols=ncols)
+                overflow=overflow, n_pad=np_pad, ncols=ncols,
+                blk=blk, win=win)
 
 
 # ---------------------------------------------------------------- kernels --
@@ -210,7 +266,8 @@ def _masked_slots(g, bits, c, cdt):
     return s0 * a0 + s1 * a1, s1 * b1, s1 * c1 + s2 * c2
 
 
-def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
+def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm,
+                      win):
     """Shared flat-item machinery of the fwd/bwd kernels.
 
     Flat item sequence (column-major (column, window)) via the it_* SMEM
@@ -234,7 +291,7 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
 
     def dma(slot, start):
         return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(start, WIN), :], win_ref.at[slot],
+            src_hbm.at[pl.ds(start, win), :], win_ref.at[slot],
             sem.at[slot])
 
     def warmup():
@@ -249,7 +306,7 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm):
     return total, st, dma, warmup
 
 
-def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
+def _fwd_kernel(ncols, c, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
                 base_ref, bits_ref,
                 w3_hbm, w_ref, o_ref, acc_ref, oh_ref, win_ref, sem):
     """Grid (nb,): one BLK-row output block per step.
@@ -266,11 +323,11 @@ def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
     f32 = jnp.float32
     cdt = win_ref.dtype
     total, st, dma, warmup = _pipeline_helpers(
-        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm)
+        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm, win)
     warmup()
 
     def col_body(j, _unused):
-        loc_abs = base_ref[j, :]                             # [BLK]
+        loc_abs = base_ref[j, :]                             # [blk]
         bits = bits_ref[j, :]
 
         def body(i, _):
@@ -282,10 +339,10 @@ def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
 
             dma(slot, st(i)).wait()
             loc = loc_abs - st(i)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
             oh_ref[:] = (iota == loc[:, None]).astype(cdt)
             g = jnp.dot(oh_ref[:], win_ref[slot],
-                        preferred_element_type=f32).astype(cdt)  # [BLK,3C]
+                        preferred_element_type=f32).astype(cdt)  # [blk,3C]
             gm, g0, gp = _masked_slots(g, bits, c, cdt)
             acc_ref[:] += jnp.dot(gm, w_ref[3 * j],
                                   preferred_element_type=f32)
@@ -307,26 +364,27 @@ def _fwd_kernel(ncols, c, cout, nb, itoff_ref, itcol_ref, itst_ref,
 
 
 def _run_fwd(w3_p, w_cols, plan):
-    """w3_p [Np+WIN, 3C] bf16 in HBM, w_cols [ncols*3, C, cout] bf16."""
+    """w3_p [Np+win, 3C] bf16 in HBM, w_cols [ncols*3, C, cout] bf16."""
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
-    nb = np_pad // BLK
+    blk, win = plan["blk"], plan["win"]
+    nb = np_pad // blk
     c = w_cols.shape[1]
     cout = w_cols.shape[-1]
-    kern = partial(_fwd_kernel, ncols, c, cout, nb)
+    kern = partial(_fwd_kernel, ncols, c, cout, nb, blk, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,            # it_off, it_col, it_start -> SMEM
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # base
-            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # bits
+            pl.BlockSpec((ncols, blk), lambda b, o, cl, s: (0, b)),  # base
+            pl.BlockSpec((ncols, blk), lambda b, o, cl, s: (0, b)),  # bits
             pl.BlockSpec(memory_space=pl.ANY),    # w3 stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # weights whole
         ],
-        out_specs=pl.BlockSpec((BLK, cout), lambda b, o, cl, s: (b, 0)),
-        scratch_shapes=[pltpu.VMEM((BLK, cout), jnp.float32),
-                        pltpu.VMEM((BLK, WIN), w3_p.dtype),
-                        pltpu.VMEM((NSLOT, WIN, w3_p.shape[1]), w3_p.dtype),
+        out_specs=pl.BlockSpec((blk, cout), lambda b, o, cl, s: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((blk, cout), jnp.float32),
+                        pltpu.VMEM((blk, win), w3_p.dtype),
+                        pltpu.VMEM((NSLOT, win, w3_p.shape[1]), w3_p.dtype),
                         pltpu.SemaphoreType.DMA((NSLOT,))],
     )
     return pl.pallas_call(
@@ -339,7 +397,7 @@ def _run_fwd(w3_p, w_cols, plan):
       plan["bits"], w3_p, w_cols)
 
 
-def _bwd_kernel(ncols, cin, cout, nb, itoff_ref, itcol_ref, itst_ref,
+def _bwd_kernel(ncols, cin, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
                 base_ref, bits_ref,
                 w3d_hbm, wt_ref, featsb_ref, df_ref, dw_ref,
                 acc_ref, oh_ref, win_ref, dwacc_ref, sem):
@@ -360,9 +418,9 @@ def _bwd_kernel(ncols, cin, cout, nb, itoff_ref, itcol_ref, itst_ref,
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
     cdt = win_ref.dtype
-    fb = featsb_ref[:]                                   # [BLK, cin]
+    fb = featsb_ref[:]                                   # [blk, cin]
     total, st, dma, warmup = _pipeline_helpers(
-        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm)
+        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm, win)
     warmup()
 
     def col_body(j, _unused):
@@ -378,7 +436,7 @@ def _bwd_kernel(ncols, cin, cout, nb, itoff_ref, itcol_ref, itst_ref,
 
             dma(slot, st(i)).wait()
             loc = loc_abs - st(i)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
             oh_ref[:] = (iota == loc[:, None]).astype(cdt)
             g = jnp.dot(oh_ref[:], win_ref[slot],
                         preferred_element_type=f32).astype(cdt)
@@ -420,25 +478,26 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
     blocked; wt_cols [ncols*3, cout, cin]. Returns (dfeats, dw_cols)."""
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
-    nb = np_pad // BLK
-    kern = partial(_bwd_kernel, ncols, cin, cout, nb)
+    blk, win = plan["blk"], plan["win"]
+    nb = np_pad // blk
+    kern = partial(_bwd_kernel, ncols, cin, cout, nb, blk, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # base
-            pl.BlockSpec((ncols, BLK), lambda b, o, cl, s: (0, b)),  # bits
+            pl.BlockSpec((ncols, blk), lambda b, o, cl, s: (0, b)),  # base
+            pl.BlockSpec((ncols, blk), lambda b, o, cl, s: (0, b)),  # bits
             pl.BlockSpec(memory_space=pl.ANY),                # w3(dout)
             pl.BlockSpec(memory_space=pltpu.VMEM),               # wt whole
-            pl.BlockSpec((BLK, cin), lambda b, o, cl, s: (b, 0)),  # feats
+            pl.BlockSpec((blk, cin), lambda b, o, cl, s: (b, 0)),  # feats
         ],
         out_specs=(
-            pl.BlockSpec((BLK, cin), lambda b, o, cl, s: (b, 0)),  # dfeats
+            pl.BlockSpec((blk, cin), lambda b, o, cl, s: (b, 0)),  # dfeats
             pl.BlockSpec(memory_space=pltpu.VMEM),               # dW whole
         ),
-        scratch_shapes=[pltpu.VMEM((BLK, cin), jnp.float32),
-                        pltpu.VMEM((BLK, WIN), w3d_p.dtype),
-                        pltpu.VMEM((NSLOT, WIN, w3d_p.shape[1]), w3d_p.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, cin), jnp.float32),
+                        pltpu.VMEM((blk, win), w3d_p.dtype),
+                        pltpu.VMEM((NSLOT, win, w3d_p.shape[1]), w3d_p.dtype),
                         pltpu.VMEM((3 * ncols, cin, cout), jnp.float32),
                         pltpu.SemaphoreType.DMA((NSLOT,))],
     )
@@ -524,8 +583,8 @@ def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
     """lax.cond between the pallas kernel and the XLA window conv."""
     def pallas_branch(feats, weights):
         sdt = _stage_dtype(cdt)
-        # stage WIN extra zero rows so the top window never over-runs
-        fp = _pad_rows(feats.astype(sdt), plan["n_pad"] + WIN)
+        # stage win extra zero rows so the top window never over-runs
+        fp = _pad_rows(feats.astype(sdt), plan["n_pad"] + plan["win"])
         w3 = _w3_table(fp)
         wc = _w_to_cols(weights, offsets_key, sdt)
         out = _run_fwd(w3, wc, plan)
@@ -538,43 +597,44 @@ def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
         plan["overflow"], xla_branch, pallas_branch, feats, weights)
 
 
-def _plan_from_args(base, bits, it_off, it_col, it_start, overflow):
+def _plan_from_args(base, bits, it_off, it_col, it_start, overflow, sizes):
     return dict(base=base, bits=bits, it_off=it_off, it_col=it_col,
                 it_start=it_start, overflow=overflow, n_pad=base.shape[1],
-                ncols=base.shape[0])
+                ncols=base.shape[0], blk=sizes[0], win=sizes[1])
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _pallas_conv_core(feats, weights, offsets_key, compute_dtype, kmap,
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pallas_conv_core(feats, weights, offsets_key, compute_dtype, sizes,
+                      kmap,
                       plan_base, plan_bits, plan_it_off, plan_it_col,
                       plan_it_start, plan_overflow):
     plan = _plan_from_args(plan_base, plan_bits, plan_it_off, plan_it_col,
-                           plan_it_start, plan_overflow)
+                           plan_it_start, plan_overflow, sizes)
     return _fwd_or_fallback(feats, weights, kmap, offsets_key,
                             compute_dtype, plan)
 
 
-def _core_fwd(feats, weights, offsets_key, compute_dtype, kmap,
+def _core_fwd(feats, weights, offsets_key, compute_dtype, sizes, kmap,
               plan_base, plan_bits, plan_it_off, plan_it_col,
               plan_it_start, plan_overflow):
     out = _pallas_conv_core(feats, weights, offsets_key, compute_dtype,
-                            kmap, plan_base, plan_bits, plan_it_off,
+                            sizes, kmap, plan_base, plan_bits, plan_it_off,
                             plan_it_col, plan_it_start, plan_overflow)
     return out, (feats, weights, kmap, plan_base, plan_bits, plan_it_off,
                  plan_it_col, plan_it_start, plan_overflow)
 
 
-def _core_bwd(offsets_key, compute_dtype, res, dout):
+def _core_bwd(offsets_key, compute_dtype, sizes, res, dout):
     (feats, weights, kmap, plan_base, plan_bits, plan_it_off,
      plan_it_col, plan_it_start, plan_overflow) = res
     plan = _plan_from_args(plan_base, plan_bits, plan_it_off, plan_it_col,
-                           plan_it_start, plan_overflow)
+                           plan_it_start, plan_overflow, sizes)
     k, cin, cout = weights.shape
     cdt = compute_dtype
 
     def pallas_branch(feats, weights, dout):
         sdt = _stage_dtype(cdt)
-        dp = _pad_rows(dout.astype(sdt), plan["n_pad"] + WIN)
+        dp = _pad_rows(dout.astype(sdt), plan["n_pad"] + plan["win"])
         w3d = _w3_table(dp)
         fp = _pad_rows(feats.astype(sdt), plan["n_pad"])
         wt = _w_to_cols_flipped(weights, offsets_key, sdt)
@@ -610,9 +670,11 @@ def pallas_window_subm_conv(
     oracle-tested; pallas kernel on TPU, XLA fallback on overflow)."""
     assert kmap.shape[1] == feats.shape[0]
     key = _plan_key(offsets)
-    plan = build_window_plan(kmap, key)
+    ncols = len(_COLUMN_PLANS[key][0])
+    sizes = _size_policy(ncols, weights.shape[1], weights.shape[2])
+    plan = build_window_plan(kmap, key, *sizes)
     out = _pallas_conv_core(
-        feats, weights, key, compute_dtype, kmap,
+        feats, weights, key, compute_dtype, sizes, kmap,
         plan["base"], plan["bits"], plan["it_off"], plan["it_col"],
         plan["it_start"], plan["overflow"])
     out = jnp.where(out_valid[:, None], out, 0)

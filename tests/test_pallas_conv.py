@@ -141,3 +141,22 @@ def test_wide_channels_single_kernel(rng):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gg_w), np.asarray(gr_w),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_size_policy_vmem_clamp(monkeypatch):
+    """The auto ladder doubles (BLK, WIN) only when the backward kernel's
+    scratch fits the scoped-VMEM budget; wide channels fall back."""
+    monkeypatch.setattr(pc, "BLK", 512)
+    monkeypatch.setattr(pc, "WIN", 512)
+    monkeypatch.setenv("OPENPCSEG_PALLAS_POLICY", "auto")
+    # narrow channels: 2x sizes fit the 32 MB budget
+    assert pc._size_policy(8, 32, 32) == (1024, 1024)
+    # decoder-wide channels: dW accumulator + staged windows exceed it
+    blk, win = pc._size_policy(8, 384, 256)
+    assert (blk, win) == (512, 512)
+    # off pins the module defaults regardless of channels
+    monkeypatch.setenv("OPENPCSEG_PALLAS_POLICY", "off")
+    assert pc._size_policy(8, 32, 32) == (512, 512)
+    # explicit ladder entries below the module floor are rejected
+    monkeypatch.setenv("OPENPCSEG_PALLAS_POLICY", "256:256")
+    assert pc._size_policy(8, 32, 32) == (512, 512)
