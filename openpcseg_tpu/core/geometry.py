@@ -33,16 +33,19 @@ def _stride3(stride) -> tuple:
 
 
 def _devox_scatterfree() -> bool:
-    """Opt-in: prefix-sum devoxelize transpose instead of scatter-add.
+    """Opt-in: scatter-free devoxelize transpose instead of scatter-add.
 
     Measured on v5e (bench.py, MinkUNet mk34): scatter-add backward 346
-    ms/step vs cumsum transpose 395 ms/step — the [8N, C] float32 prefix
-    sum's HBM traffic exceeds the scatter at the classifier's C>=96
-    devox levels, so scatter-add stays the default. The machinery (and its
-    exactness test, tests/test_voxelize.py) is kept for small-C fusion
-    branches and future pallas fusion of the multiply into the scan."""
+    ms/step vs XLA cumsum transpose 395 ms/step — the [8N, C] float32
+    prefix sum's HBM traffic exceeds the scatter at the classifier's
+    C>=96 devox levels, so scatter-add stays the default. The pallas
+    weighted-one-hot kernel (OPENPCSEG_DEVOX_PALLAS=1, ops/pallas_devox.py)
+    rides the same (lo, hi) run bounds without the [8N, C]
+    materialization."""
     import os
-    return os.environ.get("OPENPCSEG_DEVOX_SCATTERFREE", "0") == "1"
+    from ..ops.pallas_devox import use_pallas_devox
+    return (os.environ.get("OPENPCSEG_DEVOX_SCATTERFREE", "0") == "1"
+            or use_pallas_devox())
 
 
 def _corner_table(lvl: SparseLevel) -> jax.Array:

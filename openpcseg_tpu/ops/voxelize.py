@@ -142,8 +142,15 @@ def _devox_fwd(voxel_feats, idx, weights, lo, hi):
 def _devox_bwd(res, dout):
     """Scatter-free transpose: dvox[v] += sum over the contiguous run of
     contributors — a prefix sum of dout*w gathered at the run bounds
-    (replaces autodiff's 8 scatter-adds, profiled at 20 ms/step)."""
+    (replaces autodiff's 8 scatter-adds, profiled at 20 ms/step). With
+    OPENPCSEG_DEVOX_PALLAS=1 the weighted one-hot MXU kernel
+    (ops/pallas_devox.py) takes this path instead."""
     idx, weights, lo, hi, proto = res
+    from .pallas_devox import devox_transpose_pallas, use_pallas_devox
+    if use_pallas_devox():
+        dvox = devox_transpose_pallas(dout, idx, weights, lo, hi,
+                                      lo.shape[1])
+        return (dvox.astype(proto.dtype), None, None, None, None)
     v = lo.shape[1]
     k8, n = idx.shape
     c = dout.shape[1]
