@@ -11,7 +11,23 @@ import os
 import jax
 
 
+def honor_platform_env() -> None:
+    """Pin the CPU platform when JAX_PLATFORMS=cpu is exported.
+
+    The axon sitecustomize force-registers the TPU-tunnel platform even
+    when the env var says cpu, so a config-API pin is required (same trick
+    as tests/conftest.py and __graft_entry__.py). Lets every CLI run
+    hermetically on CPU — e.g. while the tunnel is down (verify skill's
+    outage fallback)."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # pragma: no cover
+            pass
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
+    honor_platform_env()
     cache_dir = path or os.environ.get(
         "OPENPCSEG_JAX_CACHE", os.path.expanduser("~/.cache/openpcseg_jax")
     )
