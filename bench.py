@@ -45,7 +45,34 @@ def mk_cfgs(voxel_cap: int):
     })
 
 
+def _tunnel_alive(timeout_s: int = 300) -> bool:
+    """Probe device init in a subprocess: a wedged TPU tunnel blocks even
+    jax.devices() indefinitely (observed outages > 9 h), which would hang
+    the whole bench run; a bounded child probe fails fast instead."""
+    import os
+    import subprocess
+    import sys
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True)
+        return b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _tunnel_alive():
+        print(json.dumps({
+            "metric": "train_throughput", "value": 0.0,
+            "unit": "scans/sec/chip", "vs_baseline": 0.0,
+            "error": "tpu tunnel unreachable (device init timed out)",
+        }))
+        return
     from openpcseg_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import os
