@@ -314,6 +314,33 @@ class SemkittiRangeViewDataset:
             out.update(self._point_eval_arrays(index))
         return out
 
+    def get_tta_sample(self, index: int, voting: int = 10):
+        """Deterministic TTA votes for the range view.
+
+        The voxel TTA rotates the scan about z per vote (reference
+        semantickitti_voxel.py:62-69). Under spherical projection a yaw
+        rotation IS a column roll of the range image, so each vote is a
+        roll of ONE projection by ``v * W / voting`` columns — the
+        per-point px arrays roll with it so every vote's pixel
+        probabilities gather back to the same original points."""
+        (scan, label, mask), path = self._load_projected(index)
+        pe = self._point_eval_arrays(index)
+        votes = []
+        for v in range(voting):
+            shift = (v * self.w) // voting
+            s = {
+                "scan": np.roll(scan, -shift, axis=1) if shift else scan,
+                "label": np.roll(label, -shift, axis=1) if shift else label,
+                "mask": np.roll(mask, -shift, axis=1) if shift else mask,
+                "name": path,
+                "p_label": pe["p_label"], "p_py": pe["p_py"],
+                "p_range": pe["p_range"], "p_valid": pe["p_valid"],
+                "p_px": (pe["p_px"] - shift) % self.w,
+            }
+            s["scan"] = s["scan"].astype(np.float32)
+            votes.append(s)
+        return votes
+
     def _point_eval_arrays(self, index: int) -> Dict[str, np.ndarray]:
         """Per-point projection arrays for point-level eval (reference
         range/utils.py:209-341: predictions are re-projected from pixels to

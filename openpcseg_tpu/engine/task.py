@@ -398,6 +398,22 @@ class SegTask:
         """Per-point softmax probabilities for TTA voting (reference
         return_tta path, minkunet.py:445-446: softmax outputs per vote,
         averaged across the 10 deterministic augmentations)."""
+        if self.is_range:
+            # range votes are column-rolled projections of one scan; the
+            # per-vote pixel probs gather back to the original points via
+            # each vote's own p_px/p_py (data/range_view.py get_tta_sample)
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["scan"], train=False,
+            )
+            logits = out[0] if isinstance(out, tuple) else out
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            v, h, w, c = probs.shape
+            flat = probs.reshape(v, h * w, c)
+            lin = batch["p_py"] * w + batch["p_px"]          # [V, N]
+            ppt = jnp.take_along_axis(
+                flat, lin[..., None], axis=1)                # [V, N, C]
+            return jnp.where(batch["p_valid"][..., None], ppt, 0.0)
         vb, pyr = self.preprocess(batch)
         out = self.model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

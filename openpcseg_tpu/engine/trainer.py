@@ -346,13 +346,23 @@ class Trainer:
         # a dedicated task instance sized for a `voting`-scan batch: the
         # voxel capacity schedule scales with batch size, so the vote batch
         # must not share the train task's caps (it would overflow). Params/
-        # state transfer as-is — caps only affect preprocess.
-        tta_task = SegTask(
-            self.cfgs, self.num_class, batch_per_device=voting,
-            iters_per_epoch=1, total_epochs=self.total_epochs,
-            compute_dtype=self.task.compute_dtype,
-        )
+        # state transfer as-is — caps only affect preprocess. Task + jitted
+        # fn are cached on the Trainer so a second evaluate_tta call (e.g.
+        # periodic TTA inside a training loop) does not re-jit
+        # (VERDICT r3 next-#9).
+        if not hasattr(self, "_tta_cache"):
+            self._tta_cache: dict = {}
+        cache = self._tta_cache.setdefault(voting, {})
+        if "task" not in cache:
+            cache["task"] = SegTask(
+                self.cfgs, self.num_class, batch_per_device=voting,
+                iters_per_epoch=1, total_epochs=self.total_epochs,
+                compute_dtype=self.task.compute_dtype,
+            )
+        tta_task = cache["task"]
         pstep = tta_task.predict_probs_step
+        lab_key = "p_label" if tta_task.is_range else "labels"
+        val_key = "p_valid" if tta_task.is_range else "valid"
 
         # all `voting` votes of a scan go through ONE batched forward (the
         # votes share point order — only xyz is augmented), then their
@@ -365,11 +375,10 @@ class Trainer:
             return confusion_matrix(pred, lab, val, self.num_class)
 
         n_dev = self.num_devices if self.mesh is not None else 1
-        _cache: dict = {}
 
         def get_tta_hist(db):
-            if "fn" in _cache:
-                return _cache["fn"]
+            if "fn" in cache:
+                return cache["fn"]
             if self.mesh is not None:
                 from jax.sharding import PartitionSpec as P
                 from jax import shard_map
@@ -385,7 +394,7 @@ class Trainer:
                     out_specs=P(), check_vma=False))
             else:
                 fn = jax.jit(tta_hist_one)
-            _cache["fn"] = fn
+            cache["fn"] = fn
             return fn
 
         if self.state is None:
@@ -405,13 +414,13 @@ class Trainer:
             # scan-major layout: device d gets rows [d*voting, (d+1)*voting)
             db = collate([v for votes in votes_per_scan for v in votes])
             db = {k: jnp.asarray(v) for k, v in db.items() if k != "name"}
-            lab = jnp.stack([jnp.asarray(v[0]["labels"])
+            lab = jnp.stack([jnp.asarray(v[0][lab_key])
                              for v in votes_per_scan])
             val = jnp.stack([
-                jnp.asarray(v[0]["valid"])
+                jnp.asarray(v[0][val_key])
                 # tail padding: repeated scans masked out of the histogram
                 if start + i < n_scans else
-                jnp.zeros_like(jnp.asarray(v[0]["valid"]))
+                jnp.zeros_like(jnp.asarray(v[0][val_key]))
                 for i, v in enumerate(votes_per_scan)])
             fn = get_tta_hist(db)
             if self.mesh is not None:

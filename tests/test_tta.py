@@ -195,3 +195,117 @@ def test_sharded_tta_hist_matches_per_scan_loop():
         h_seq += np.asarray(f1(state, db, lab[s], val[s]), np.int64)
 
     np.testing.assert_array_equal(h_sharded, h_seq)
+
+
+# ------------------------------------------------------------- range TTA --
+
+
+def range_cfgs():
+    return CfgDict({
+        "MODALITY": "range",
+        "DATA": {"DATASET": "semantickitti", "H": 16, "W": 64},
+        "MODEL": {
+            "NAME": "CENet", "IGNORE_LABEL": 0, "NUM_CLASS": NUM_CLASS,
+            "IF_BN": True, "IF_INTENSITY": True, "IF_RANGE": True,
+            "WITH_NORM": False, "LOSS": "wce", "IF_LS_LOSS": False,
+            "IF_BD_LOSS": False, "TOP_K_PERCENT_PIXELS": 1.0,
+            "IF_AUX": False, "AUX_WEIGHT": 1.0, "KNN_POST": False,
+        },
+        "OPTIM": {
+            "BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 1,
+            "OPTIMIZER": "adam", "LR_PER_SAMPLE": 0.002,
+            "WEIGHT_DECAY": 0.0,
+            "SCHEDULER": "linear_warmup_with_cosdecay", "WARMUP_EPOCH": 1,
+        },
+        "TPU": {},
+    })
+
+
+class _FakeSource:
+    """In-memory raw-scan source standing in for SemantickittiDataset."""
+
+    def __init__(self, n_pts=3000, seed=0):
+        rng = np.random.default_rng(seed)
+        r = rng.uniform(2.0, 40.0, n_pts)
+        yaw = rng.uniform(-np.pi, np.pi, n_pts)
+        pitch = rng.uniform(np.deg2rad(-24.0), np.deg2rad(2.0), n_pts)
+        xyz = np.stack([r * np.cos(pitch) * np.cos(yaw),
+                        r * np.cos(pitch) * np.sin(yaw),
+                        r * np.sin(pitch)], 1).astype(np.float32)
+        rem = rng.uniform(0, 1, n_pts).astype(np.float32)
+        self._pc = {
+            "xyzret": np.concatenate([xyz, rem[:, None]], 1),
+            "labels": rng.integers(1, NUM_CLASS, n_pts).astype(np.int32),
+            "path": "fake/000000.bin",
+        }
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, i):
+        return self._pc
+
+    def resample(self):
+        pass
+
+
+def make_range_dataset(h=16, w=64):
+    from openpcseg_tpu.data.range_view import SemkittiRangeViewDataset
+
+    class FakeRangeDS(SemkittiRangeViewDataset):
+        def _make_source(self, data_cfgs, training, root_path, seed):
+            return _FakeSource()
+
+    return FakeRangeDS(range_cfgs().DATA, training=False, point_cap=4096)
+
+
+def test_range_tta_votes_roll_consistently():
+    """Each vote's (py, px_v) indexes the SAME physical pixel: rolled scan
+    gathered at the vote's shifted px equals vote-0's gather."""
+    ds = make_range_dataset()
+    votes = ds.get_tta_sample(0, voting=4)
+    v0 = votes[0]
+    ref = v0["scan"][v0["p_py"], v0["p_px"]]
+    for v in votes[1:]:
+        got = v["scan"][v["p_py"], v["p_px"]]
+        np.testing.assert_array_equal(got, ref)
+        # label/mask images rolled in lockstep with the scan
+        assert v["scan"].shape == v0["scan"].shape
+        np.testing.assert_array_equal(
+            np.sort(v["label"].ravel()), np.sort(v0["label"].ravel()))
+
+
+def test_range_predict_probs_step_gathers_per_vote():
+    """predict_probs_step (range branch): per-point probs equal a manual
+    softmax + pixel gather per vote, and invalid points get zero prob."""
+    ds = make_range_dataset()
+    voting = 3
+    votes = ds.get_tta_sample(0, voting=voting)
+    from openpcseg_tpu.data.voxel_view import collate
+    db = collate(votes)
+    db = {k: jnp.asarray(v) for k, v in db.items() if k != "name"}
+
+    task = SegTask(range_cfgs(), NUM_CLASS, batch_per_device=voting,
+                   iters_per_epoch=5, total_epochs=1)
+    rng = jax.random.PRNGKey(0)
+    state = task.init_state(rng, db)
+    probs = np.asarray(jax.jit(task.predict_probs_step)(state, db))
+    assert probs.shape == (voting, 4096, NUM_CLASS)
+
+    # manual: model forward, softmax, gather at (py, px_v)
+    out = task.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        db["scan"], train=False)
+    logits = out[0] if isinstance(out, tuple) else out
+    sm = np.asarray(jax.nn.softmax(
+        jnp.asarray(logits, jnp.float32), axis=-1))
+    for v in range(voting):
+        man = sm[v][np.asarray(db["p_py"][v]), np.asarray(db["p_px"][v])]
+        man[~np.asarray(db["p_valid"][v])] = 0.0
+        np.testing.assert_allclose(probs[v], man, rtol=1e-5, atol=1e-6)
+
+    # vote-averaged per-point probs are identical for every physical point
+    # across vote orderings (sanity for trainer.evaluate_tta's mean)
+    mean_a = probs.mean(axis=0)
+    mean_b = probs[::-1].mean(axis=0)
+    np.testing.assert_allclose(mean_a, mean_b, rtol=1e-6, atol=1e-7)
