@@ -15,6 +15,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -96,11 +98,22 @@ def main():
     if on_tpu:
         # ray-cast surface scans: realistic LiDAR occupancy (thin surfaces,
         # range-dependent density) — the scatter-noise generator inflates
-        # deep-level voxel counts ~3x vs real scans
+        # deep-level voxel counts ~3x vs real scans.
+        # BENCH_DUP=1 duplicates scan 0 across the batch: the generator's
+        # scans differ in density (scan 1 has ~1.4x scan 0's voxels), so
+        # batch sweeps on distinct scans compare different workloads —
+        # round 3's apparent batch-2 throughput inversion was exactly this
+        # (per-voxel time at batch 2 is slightly BETTER than batch 1).
         from openpcseg_tpu.data.raycast import raycast_batch
-        batch_data = {
-            k: jnp.asarray(v)
-            for k, v in raycast_batch(0, batch, cap=n_pts).items()}
+        if os.environ.get("BENCH_DUP", "0") == "1":
+            one = raycast_batch(0, 1, cap=n_pts)
+            batch_data = {
+                k: jnp.asarray(np.repeat(v, batch, axis=0))
+                for k, v in one.items()}
+        else:
+            batch_data = {
+                k: jnp.asarray(v)
+                for k, v in raycast_batch(0, batch, cap=n_pts).items()}
     else:
         batch_data = {
             k: jnp.asarray(v)

@@ -190,6 +190,11 @@ class Trainer:
         """(reference train.py:285-301 save_checkpoint, rank-0 write)"""
         if self.ckpt_mgr is None:
             return
+        if self.state is None:
+            # a None state would serialize as a leaf and poison auto-resume
+            raise RuntimeError(
+                "save_checkpoint called before any training step ran "
+                "(state is None) — check that the train loader is non-empty")
         payload = {
             "state": jax.device_get(self.state),
             "epoch": np.asarray(epoch),
@@ -437,6 +442,12 @@ class Trainer:
         ckp_interval = getattr(self.args, "ckp_save_interval", 1)
         # initialize / auto-resume BEFORE the epoch loop so start_epoch is
         # honored (restore inside the first step would be one epoch late)
+        if len(self.train_loader) == 0:
+            raise RuntimeError(
+                f"empty train loader: global batch {self.global_batch} "
+                f"({self.batch_per_device}/device x {self.num_devices} "
+                f"devices) exceeds the {len(self.train_set)}-scan train set "
+                "(drop_last) — lower --batch_size/--num_devices or add data")
         if self.state is None:
             for batch in self.train_loader:
                 db = self._device_batch(batch)

@@ -58,18 +58,21 @@ def waymo_tree(tmp_path_factory):
 
 
 def _train_and_dump(cfg_file, data_path, log_dir, sets, extra_infer=()):
+    # --num_devices 1: conftest exposes 8 virtual CPU devices, and an
+    # 8-device mesh's global batch would exceed the mini tree (the mesh
+    # path is covered by test_parallel/dryrun_multichip)
     run_cli("train.py", [
         "--cfg_file", cfg_file, "--extra_tag", "e2e", "--log_dir", log_dir,
         "--epochs", "1", "--batch_size", "2", "--log_interval", "1",
-        "--workers", "1",
+        "--workers", "1", "--num_devices", "1",
         "--set", "DATA.DATA_PATH", data_path, *sets,
     ])
     exp = next(Path(log_dir).glob("**/ckp"))
     assert any(exp.iterdir()), "no checkpoint saved"
     run_cli("infer.py", [
         "--cfg_file", cfg_file, "--extra_tag", "e2e", "--log_dir", log_dir,
-        "--batch_size", "2", "--workers", "1", "--save_pred",
-        *extra_infer,
+        "--batch_size", "2", "--workers", "1", "--num_devices", "1",
+        "--save_pred", *extra_infer,
         "--set", "DATA.DATA_PATH", data_path,
         "DATA.OUTPUT_DIR", str(Path(log_dir) / "preds"), *sets,
     ])
@@ -86,10 +89,13 @@ def test_semantickitti_voxel_train_infer_submission(kitti_tree, tmp_path):
     # uint32 raw ids, one id per point of the original scan
     labels = sorted(preds.glob("sequences/08/predictions/*.label"))
     assert len(labels) == 2, labels
+    from openpcseg_tpu.data.semantickitti_meta import LEARNING_MAP_INV_LUT
+    legal = set(np.asarray(LEARNING_MAP_INV_LUT).tolist())
     for f in labels:
         raw = np.fromfile(f, dtype=np.uint32)
         assert len(raw) == 4000  # every original point got a prediction
-        assert set(np.unique(raw)) <= set(KITTI_RAW_IDS.tolist())
+        # predictions remap to canonical raw ids via the inverse map
+        assert set(np.unique(raw).tolist()) <= legal
 
 
 def test_semantickitti_range_train_infer(kitti_tree, tmp_path):
