@@ -38,14 +38,11 @@ def _devox_scatterfree() -> bool:
     Measured on v5e (bench.py, MinkUNet mk34): scatter-add backward 346
     ms/step vs XLA cumsum transpose 395 ms/step — the [8N, C] float32
     prefix sum's HBM traffic exceeds the scatter at the classifier's
-    C>=96 devox levels, so scatter-add stays the default. The pallas
-    weighted-one-hot kernel (OPENPCSEG_DEVOX_PALLAS=1, ops/pallas_devox.py)
-    rides the same (lo, hi) run bounds without the [8N, C]
-    materialization."""
+    C>=96 devox levels, so scatter-add stays the default. On TPU the
+    pallas window kernels (OPENPCSEG_DEVOX_PALLAS, ops/pallas_devox.py)
+    supersede both; this flag only picks the XLA fallback flavor."""
     import os
-    from ..ops.pallas_devox import use_pallas_devox
-    return (os.environ.get("OPENPCSEG_DEVOX_SCATTERFREE", "0") == "1"
-            or use_pallas_devox())
+    return os.environ.get("OPENPCSEG_DEVOX_SCATTERFREE", "0") == "1"
 
 
 def _corner_table(lvl: SparseLevel) -> jax.Array:

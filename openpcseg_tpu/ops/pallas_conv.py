@@ -172,77 +172,97 @@ def build_window_plan(kmap: jax.Array, offsets_key,
         base = jnp.pad(base, pad)
         bits = jnp.pad(bits, pad)
 
-    bb = base.reshape(len(win_cols), nb, blk)
-    hb = (bits.reshape(len(win_cols), nb, blk) != 0)
+    cov = plan_cover(base, bits != 0, blk, win, clip_max=np_pad)
+    cov.update(base=base, bits=bits, n_pad=np_pad,
+               ncols=len(win_cols), blk=blk, win=win)
+    return cov
+
+
+def plan_cover(base: jax.Array, hit: jax.Array, blk: int, win: int, *,
+               clip_max: int, span: int = 0,
+               nw: int | None = None, nwt: int | None = None,
+               align: int = 8) -> dict:
+    """Greedy aligned-window cover + flat per-block item list — the generic
+    core shared by the conv plan (span=0: the w3 row at `base` already
+    carries the base±1 slot contents) and the devoxelize plans (span=1:
+    base AND base+1 must land in one window).
+
+    base/hit [ncols, Np] (Np a blk multiple): per-column target rows.
+    Window w starts (`align`-aligned) at the first base not covered by
+    windows 0..w-1. A base COVERED by a window satisfies
+    ``s <= base < s + win - span``; consecutive windows may overlap by up
+    to `span` rows, but the covering window is unique (each window starts
+    past the previous window's covered range), so an equality gather that
+    honors the same `< win - span` bound matches each base exactly once.
+    Parked (unused) window slots chain past the data and are clamped to
+    ``clip_max`` so even a spurious prefetch DMA stays inside the staged
+    [clip_max + win] rows.
+
+    Returns dict(starts [ncols, nb, nw], wcnt [ncols, nb], overflow,
+    it_off [nb*(ncols+1)], it_col / it_start [nb*nwt] — the flat
+    column-major (column, window) item sequence the kernels iterate with
+    one SMEM scalar read per item).
+    """
+    nw = NW if nw is None else nw
+    nwt = NWT if nwt is None else nwt
+    ncols, np_pad = base.shape
+    assert np_pad % blk == 0
+    nb = np_pad // blk
     big = jnp.int32(2 ** 30)
+    bb = base.reshape(ncols, nb, blk)
+    hb = hit.reshape(ncols, nb, blk)
     bbv = jnp.where(hb, bb, big)                          # miss -> +inf
 
-    # greedy interval cover with up to NW disjoint aligned windows: window
-    # w starts (8-aligned) at the first base not covered by windows
-    # 0..w-1. Windows never overlap (each starts past the previous end),
-    # so a base matches at most one window in the kernel's equality gather
-    # -> no double counting. The w3 row at `base` already carries the
-    # base-1 / base+1 slot contents, so coverage of the BASES alone is
-    # exact (v2 needed base±1 in-window too).
     starts_l = []
     end = jnp.full(bbv.shape[:2], -1, jnp.int32)          # [ncols, nb]
     cnt = jnp.zeros(bbv.shape[:2], jnp.int32)
-    for _w in range(NW):
+    for _w in range(nw):
         nxt = jnp.min(jnp.where(bbv > end[..., None], bbv, big), axis=2)
         has = nxt < big
-        s = jnp.maximum((nxt // 8) * 8, 0)
-        s = jnp.maximum(s, end + 1)                        # disjoint
+        s = jnp.maximum((nxt // align) * align, 0)
+        s = jnp.maximum(s, end + 1)                        # unique coverage
         s = jnp.where(has, s, end + 1 + win)               # park empties
         starts_l.append(s)
-        end = s + win - 1
+        end = s + win - 1 - span
         cnt = cnt + has.astype(jnp.int32)
-    starts = jnp.stack(starts_l, axis=-1).astype(jnp.int32)  # [ncols,nb,NW]
-    # parked (unused) slots chain past the data; clamp so even a spurious
-    # prefetch DMA stays inside the staged [n_pad + WIN] rows
-    starts = jnp.clip(starts, 0, np_pad)
+    starts = jnp.stack(starts_l, axis=-1).astype(jnp.int32)  # [ncols,nb,nw]
+    starts = jnp.clip(starts, 0, clip_max)
 
     def in_any(r):
         cov = jnp.zeros(r.shape, bool)
-        for w in range(NW):
+        for w in range(nw):
             s = starts[..., w][..., None]
-            cov = cov | ((r >= s) & (r < s + win))
+            cov = cov | ((r >= s) & (r < s + win - span))
         return cov
 
     overflow = jnp.any(hb & ~in_any(bb))
 
-    # flat per-block item list (column-major over (column, window)): the
-    # kernel iterates ONE flat sequence with per-item (start, col) read
-    # straight from SMEM — replaces the per-unit O(ncols) next-start select
-    # chains and gives the software pipeline a uniform item index.
-    ncols = len(win_cols)
     offs = jnp.concatenate(
         [jnp.zeros((1, nb), jnp.int32), jnp.cumsum(cnt, axis=0)], axis=0
     )                                                        # [ncols+1, nb]
     total = offs[-1]                                         # [nb]
-    wi = jnp.arange(NW, dtype=jnp.int32)
+    wi = jnp.arange(nw, dtype=jnp.int32)
     dest = jnp.where(wi[None, None, :] < cnt[..., None],
-                     offs[:-1][..., None] + wi[None, None, :], NWT)
-    dflat = dest.transpose(1, 0, 2).reshape(nb, ncols * NW)
-    sflat = starts.transpose(1, 0, 2).reshape(nb, ncols * NW)
+                     offs[:-1][..., None] + wi[None, None, :], nwt)
+    dflat = dest.transpose(1, 0, 2).reshape(nb, ncols * nw)
+    sflat = starts.transpose(1, 0, 2).reshape(nb, ncols * nw)
     cflat = jnp.broadcast_to(
-        jnp.repeat(jnp.arange(ncols, dtype=jnp.int32), NW)[None],
-        (nb, ncols * NW))
+        jnp.repeat(jnp.arange(ncols, dtype=jnp.int32), nw)[None],
+        (nb, ncols * nw))
     _, it_start, it_col = jax.lax.sort(
         (dflat, sflat, cflat), num_keys=1, dimension=1)
-    pad_it = max(NWT - ncols * NW, 0)
+    pad_it = max(nwt - ncols * nw, 0)
     if pad_it:
         it_start = jnp.pad(it_start, ((0, 0), (0, pad_it)))
         it_col = jnp.pad(it_col, ((0, 0), (0, pad_it)))
-    it_start = it_start[:, :NWT]
-    it_col = it_col[:, :NWT]
-    overflow = overflow | jnp.any(total > NWT)
-    it_off = jnp.minimum(offs.T, NWT).astype(jnp.int32)      # [nb, ncols+1]
+    it_start = it_start[:, :nwt]
+    it_col = it_col[:, :nwt]
+    overflow = overflow | jnp.any(total > nwt)
+    it_off = jnp.minimum(offs.T, nwt).astype(jnp.int32)      # [nb, ncols+1]
 
-    return dict(base=base, bits=bits, starts=starts, wcnt=cnt,
+    return dict(starts=starts, wcnt=cnt,
                 it_off=it_off.reshape(-1), it_col=it_col.reshape(-1),
-                it_start=it_start.reshape(-1),
-                overflow=overflow, n_pad=np_pad, ncols=ncols,
-                blk=blk, win=win)
+                it_start=it_start.reshape(-1), overflow=overflow)
 
 
 # ---------------------------------------------------------------- kernels --

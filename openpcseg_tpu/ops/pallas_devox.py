@@ -1,36 +1,44 @@
-"""Pallas TPU kernel for the devoxelize BACKWARD (dout -> dvox transpose).
+"""Pallas TPU kernels for trilinear devoxelize (forward gather + backward
+transpose) — the window one-hot MXU design of ops/pallas_conv.py applied to
+the point<->voxel bridge.
 
-The trilinear devoxelize forward is 8 row gathers (ops/voxelize.py
-_devox_apply, reference torchsparse devoxelize_cuda.cu:11-33); its autodiff
-backward is 8 scatter-adds over [N] point rows — profiled at ~20 ms/step on
-the MinkUNet bench (HBM-resident random RMW; see tools/perf/
-devox_bwd_probe.py). The round-2 scatter-free XLA rewrite (cumsum over
-[8N, C] f32, voxelize.py _devox_bwd) moved MORE bytes than the scatter at
-the classifier's C >= 96 levels and lost.
+The XLA forward is 8 row gathers (ops/voxelize.py _devox_apply, reference
+torchsparse backend/devoxelize/devoxelize_cuda.cu:11-33) which realize only
+a few GB/s of HBM bandwidth (small-row random access; 25 ms/step of the
+round-3 MinkUNet bench, /tmp/trace_b1 self-time at voxelize.py:99). The
+autodiff backward is 8 scatter-adds (~20 ms/step, reference
+devoxelize_cuda.cu:36-54 atomicAdd).
 
-This kernel computes dvox[v] = sum_k sum_{p: idx[k,p]==v} w[k,p] * dout[p]
-with the same weighted one-hot MXU trick as ops/pallas_conv.py, exploiting
-the run structure instead of scattering:
+Structure (shared with the conv kernel, see pallas_conv.py):
 
-- point rows are key-sorted, so per corner k the contributor rows of a
-  block of VBLK consecutive voxels form ONE contiguous span
-  [min lo, max hi] (voxelize.py devox_transpose_bounds) — covered by
-  consecutive aligned windows, ceil(span/DWIN) items per (corner, block);
-- per item, dout[start:start+DWIN, :C] plus that window's idx / weight
-  rows are DMA'd (double-buffered, same flat-item pipeline as the conv
-  kernel);
-- the weighted one-hot oh[i, j] = (idx_win[j] == v0 + i) * w_win[j] folds
-  the trilinear weight into the gather matrix, so ONE [VBLK, DWIN] @
-  [DWIN, C] MXU dot per item replaces DWIN scatter-adds — total items
-  ~= 8*N/DWIN per devox level, independent of V.
+- the 8 corners fold into 4 (cx, cy) COLUMNS: the two z-corners of a
+  column are ADJACENT voxel rows (packed keys are z-consecutive, the same
+  invariant the conv's z-window columns ride), so one base row per column
+  serves both via rows base / base+1 of the window;
+- point rows are key-sorted, so per column the base rows are monotone up
+  to the measured bounded disorder of downsampled keys (ROADMAP round-4
+  #2: p99 displacement 3.1k/460/126/168 at L1-L4) — a block of BLK
+  consecutive points is covered by a few disjoint aligned windows
+  (pallas_conv.plan_cover with span=1: base AND base+1 in one window);
+- forward, per (column, window) item: DMA the [WIN, C] voxel-feature
+  window from HBM (double-buffered), build the binary one-hots
+  (iota == loc) and (iota == loc+1), gather both z-slots with two MXU
+  dots, and apply the trilinear weights in f32 on the [BLK, C] results —
+  the weights never round through bf16 on this path;
+- backward, per (column, point-window) item over VOXEL-row blocks: the
+  contributors of a voxel block form one contiguous point-row span
+  (voxelize.py devox_transpose_bounds), covered by consecutive LANE-
+  aligned windows; the weighted one-hot
+  oh[v, t] = a1[t]*(base[t]==v) + a2[t]*(base[t]==v-1) folds the weight
+  into the gather matrix (weights multiply in the compute dtype, matching
+  the forward's feature precision), ONE MXU dot per item replaces WIN
+  scatter-adds. Window starts here slice the LANE dimension of the staged
+  [8, n] arrays and are therefore 128-aligned (Mosaic requires lane-tile
+  alignment for dynamic lane DMA offsets; the round-3 kernel's 8-aligned
+  starts were the real-TPU Mosaic failure, BASELINE.md r4 queue).
 
-Weights multiply in the compute dtype (bf16), matching the forward's
-``weights.astype(voxel_feats.dtype)`` cast (voxelize.py _devox_apply), so
-the oracle parity is exact at the autodiff path's own precision.
-
-Default off (OPENPCSEG_DEVOX_PALLAS=1 to enable) until TPU-validated;
-exactness is oracle-tested against autodiff in interpret mode
-(tests/test_pallas_devox.py).
+Exactness: covered-by-value windows, overflow (or a violated z-adjacency)
+falls back to the XLA gather / scatter path via lax.cond.
 """
 from __future__ import annotations
 
@@ -43,108 +51,251 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-from .pallas_conv import NSLOT, VMEM_LIMIT
+from .pallas_conv import NSLOT, VMEM_LIMIT, plan_cover
 
 INTERPRET = False  # tests set True on CPU
 
-VBLK = int(_os.environ.get("OPENPCSEG_DEVOX_VBLK", 512))   # voxels per step
-DWIN = int(_os.environ.get("OPENPCSEG_DEVOX_WIN", 2048))   # point rows/window
-DNWT = int(_os.environ.get("OPENPCSEG_DEVOX_NWT", 128))    # max items/block
+BLK = int(_os.environ.get("OPENPCSEG_DEVOX_BLK", 512))    # point rows/block
+WIN = int(_os.environ.get("OPENPCSEG_DEVOX_FWIN", 512))   # voxel rows/window
+NW = int(_os.environ.get("OPENPCSEG_DEVOX_NW", 16))       # max windows/col
+NWT = 4 * NW                                              # max items/block
+VBLK = int(_os.environ.get("OPENPCSEG_DEVOX_VBLK", 512))  # voxels per block
+DWIN = int(_os.environ.get("OPENPCSEG_DEVOX_WIN", 2048))  # point rows/window
+DNWT = int(_os.environ.get("OPENPCSEG_DEVOX_NWT", 128))   # max items/block
 
 
 def use_pallas_devox() -> bool:
-    return _os.environ.get("OPENPCSEG_DEVOX_PALLAS", "0") == "1"
+    """OPENPCSEG_DEVOX_PALLAS: 1 force-on, 0 force-off, auto = on when the
+    default backend is a real TPU. Default stays "0" until the explicit
+    TPU A/B (flip to "auto" when it wins the bench)."""
+    v = _os.environ.get("OPENPCSEG_DEVOX_PALLAS", "0")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _lanes(c: int) -> int:
     return -(-c // 128) * 128
 
 
-# ------------------------------------------------------------------ plan --
+def fold_corner_columns(idx: jax.Array, weights: jax.Array):
+    """[8, N] corner idx/weights -> 4-column (base, a1, a2, adjacency ok).
 
-
-def build_devox_plan(lo: jax.Array, hi: jax.Array, num_voxels: int,
-                     n_points: int) -> dict:
-    """Window plan for the transpose: per (corner, voxel-block), consecutive
-    8-aligned DWIN-windows covering the block's contributor span.
-
-    lo/hi [8, V] from devox_transpose_bounds (lo=N / hi=-1 for empty).
-    Returns flat it_off [nvb*9], it_col/it_start [nvb*DNWT] (the same flat
-    SMEM layout as pallas_conv's plan — Mosaic pads each SMEM operand's
-    last dim to 128 lanes, so 1-D is mandatory at batch >= 2), plus the
-    padded voxel count and an overflow flag (a span needing > per-corner
-    share of DNWT windows -> XLA fallback).
+    Corner order is cx*4+cy*2+cz (ops.voxelize.corner_offsets), so corners
+    (2j, 2j+1) are the z / z+1 pair of column j and, when both hit, sit on
+    ADJACENT rows of the sorted voxel table. base is the row whose window
+    slot carries the z-corner: the z-corner's own row when it hits, else
+    the z+1 row (whose value is then read from slot1, weight a1).
+      a1 — weight applied to V[base]
+      a2 — weight applied to V[base+1] (only when both corners hit)
+    Misses keep their zero weight, so parked bases contribute nothing.
     """
-    k8, v = lo.shape
-    v_pad = -(-v // VBLK) * VBLK
+    iz0, iz1 = idx[0::2], idx[1::2]                       # [4, N]
+    w0, w1 = weights[0::2], weights[1::2]
+    h0, h1 = iz0 >= 0, iz1 >= 0
+    base = jnp.where(h0, iz0, jnp.maximum(iz1, 0))
+    a1 = jnp.where(h0, w0, 0.0) + jnp.where(h1 & ~h0, w1, 0.0)
+    a2 = jnp.where(h1 & h0, w1, 0.0)
+    adj_bad = jnp.any(h0 & h1 & (iz1 != iz0 + 1))
+    return base.astype(jnp.int32), a1, a2, (h0 | h1), adj_bad
+
+
+# -------------------------------------------------------------- forward --
+
+
+def _fwd_kernel(c_pad, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
+                base_ref, a1_ref, a2_ref,
+                v_hbm, o_ref, acc_ref, oh_ref, win_ref, sem):
+    """Grid (nb,): one BLK-point output block per step.
+
+    it_* flat SMEM scalar-prefetch (pallas_conv layout); base/a1/a2
+    [4, BLK] VMEM blocks; v_hbm [v_stage + WIN, c_pad] stays in HBM —
+    windows are DMA'd per item into win_ref [NSLOT, WIN, c_pad].
+    """
+    b = pl.program_id(0)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    f32 = jnp.float32
+    cdt = win_ref.dtype
+    total = itoff_ref[b * 5 + 4]
+
+    def st(i):
+        return pl.multiple_of(
+            itst_ref[b * NWT + jnp.minimum(i, NWT - 1)], 8)
+
+    def dma(slot, start):
+        return pltpu.make_async_copy(
+            v_hbm.at[pl.ds(start, win), :], win_ref.at[slot], sem.at[slot])
+
+    for i0 in range(NSLOT - 1):
+        @pl.when(i0 < total)
+        def _():
+            dma(i0 % NSLOT, st(i0)).start()
+
+    def col_body(j):
+        loc_abs = base_ref[j, :]                          # [blk]
+        a1 = a1_ref[j, :]
+        a2 = a2_ref[j, :]
+
+        def body(i, _):
+            slot = i % NSLOT
+
+            @pl.when(i + NSLOT - 1 < total)
+            def _():
+                dma((i + NSLOT - 1) % NSLOT, st(i + NSLOT - 1)).start()
+
+            dma(slot, st(i)).wait()
+            loc = loc_abs - st(i)
+            # span=1 cover: a base only belongs to the window where
+            # base+1 also fits (windows may overlap by one row); park
+            # misses at -2 so neither loc nor loc+1 matches the iota
+            loc = jnp.where((loc >= 0) & (loc < win - 1), loc, -2)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
+            oh_ref[:] = (iota == loc[:, None]).astype(cdt)
+            g1 = jnp.dot(oh_ref[:], win_ref[slot],
+                         preferred_element_type=f32)      # [blk, c_pad]
+            oh_ref[:] = (iota == (loc + 1)[:, None]).astype(cdt)
+            g2 = jnp.dot(oh_ref[:], win_ref[slot],
+                         preferred_element_type=f32)
+            acc_ref[:] += g1 * a1[:, None] + g2 * a2[:, None]
+            return 0
+
+        lo = itoff_ref[b * 5 + j]
+        hi = itoff_ref[b * 5 + j + 1]
+        jax.lax.fori_loop(lo, hi, body, 0)
+
+    for j in range(4):
+        col_body(j)
+
+    o_ref[:] = acc_ref[:]
+
+
+def _run_fwd(v_p, plan, n_pad):
+    nb = n_pad // BLK
+    c_pad = v_p.shape[1]
+    kern = partial(_fwd_kernel, c_pad, nb, BLK, WIN)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((4, BLK), lambda b, o, cl, s: (0, b)),   # base
+            pl.BlockSpec((4, BLK), lambda b, o, cl, s: (0, b)),   # a1
+            pl.BlockSpec((4, BLK), lambda b, o, cl, s: (0, b)),   # a2
+            pl.BlockSpec(memory_space=pl.ANY),            # voxel feats HBM
+        ],
+        out_specs=pl.BlockSpec((BLK, c_pad), lambda b, o, cl, s: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((BLK, c_pad), jnp.float32),
+                        pltpu.VMEM((BLK, WIN), v_p.dtype),
+                        pltpu.VMEM((NSLOT, WIN, c_pad), v_p.dtype),
+                        pltpu.SemaphoreType.DMA((NSLOT,))],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(plan["it_off"], plan["it_col"], plan["it_start"],
+      plan["base_p"], plan["a1_p"], plan["a2_p"], v_p)
+
+
+# ------------------------------------------------------------- backward --
+
+
+def build_rev_plan(base: jax.Array, hit: jax.Array, num_voxels: int,
+                   n_points: int) -> dict:
+    """Transpose plan: per (column, VBLK-voxel block), consecutive
+    128-ALIGNED DWIN point-row windows covering the block's contributor
+    span (including base == v0-1 for the slot2 weights of the block's
+    first voxel). Point rows are near-monotone in base, so the span is
+    one run (voxelize.py devox_transpose_bounds reasoning).
+    """
+    from .segment import _route
+
+    k4, n = base.shape
+    v_pad = -(-num_voxels // VBLK) * VBLK
     nvb = v_pad // VBLK
     big = jnp.int32(2 ** 30)
-    n_ceil = -(-n_points // 8) * 8
+    n_ceil = -(-n_points // 128) * 128
 
-    lo_p = jnp.pad(lo, ((0, 0), (0, v_pad - v)), constant_values=2 ** 30)
-    hi_p = jnp.pad(hi, ((0, 0), (0, v_pad - v)), constant_values=-1)
-    lo_b = jnp.where(hi_p >= 0, lo_p, big).reshape(k8, nvb, VBLK)
-    hi_b = hi_p.reshape(k8, nvb, VBLK)
-    span_lo = jnp.min(lo_b, axis=2)                       # [8, nvb]
-    span_hi = jnp.max(hi_b, axis=2)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (k4, n))
+    seg = (_route(jnp.where(hit, base, -1), num_voxels)
+           + jnp.arange(k4, dtype=jnp.int32)[:, None] * (num_voxels + 1))
+    lo = jax.ops.segment_min(iota.reshape(-1), seg.reshape(-1),
+                             num_segments=k4 * (num_voxels + 1))
+    hi = jax.ops.segment_max(iota.reshape(-1), seg.reshape(-1),
+                             num_segments=k4 * (num_voxels + 1))
+    lo = jnp.minimum(lo, n).reshape(k4, num_voxels + 1)[:, :num_voxels]
+    hi = jnp.maximum(hi, -1).reshape(k4, num_voxels + 1)[:, :num_voxels]
+    lo_p = jnp.pad(lo, ((0, 0), (0, v_pad - num_voxels)),
+                   constant_values=2 ** 30)
+    hi_p = jnp.pad(hi, ((0, 0), (0, v_pad - num_voxels)),
+                   constant_values=-1)
+    lo_p = jnp.where(hi_p >= 0, lo_p, big)
+    # the block's first voxel takes slot2 contributions from base == v0-1
+    prev_lo = jnp.pad(lo_p, ((0, 0), (1, 0)),
+                      constant_values=2 ** 30)[:, :-1]
+    prev_hi = jnp.pad(hi_p, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    span_lo = jnp.minimum(lo_p.reshape(k4, nvb, VBLK).min(2),
+                          prev_lo.reshape(k4, nvb, VBLK)[:, :, 0])
+    span_hi = jnp.maximum(hi_p.reshape(k4, nvb, VBLK).max(2),
+                          prev_hi.reshape(k4, nvb, VBLK)[:, :, 0])
     has = span_hi >= 0
-    start0 = jnp.where(has, (jnp.minimum(span_lo, span_hi) // 8) * 8, 0)
+    start0 = jnp.where(has, (jnp.minimum(span_lo, span_hi) // 128) * 128, 0)
     cnt = jnp.where(has, (span_hi - start0) // DWIN + 1, 0).astype(jnp.int32)
     overflow = jnp.any(jnp.sum(cnt, axis=0) > DNWT)
     cnt = jnp.minimum(cnt, DNWT)
 
-    # flat item list per block, corner-major (same construction as
-    # pallas_conv.build_window_plan)
     offs = jnp.concatenate(
         [jnp.zeros((1, nvb), jnp.int32), jnp.cumsum(cnt, axis=0)], axis=0
-    )                                                     # [9, nvb]
+    )                                                     # [5, nvb]
     total = offs[-1]
     wi = jnp.arange(DNWT, dtype=jnp.int32)
-    starts = start0[..., None] + wi[None, None, :] * DWIN  # [8, nvb, DNWT]
-    starts = jnp.clip(starts, 0, n_ceil)   # spurious prefetch stays staged
+    starts = start0[..., None] + wi[None, None, :] * DWIN  # [4, nvb, DNWT]
+    starts = jnp.clip(starts, 0, n_ceil)
     dest = jnp.where(wi[None, None, :] < cnt[..., None],
                      offs[:-1][..., None] + wi[None, None, :], DNWT)
-    dflat = dest.transpose(1, 0, 2).reshape(nvb, k8 * DNWT)
-    sflat = starts.transpose(1, 0, 2).reshape(nvb, k8 * DNWT)
+    dflat = dest.transpose(1, 0, 2).reshape(nvb, k4 * DNWT)
+    sflat = starts.transpose(1, 0, 2).reshape(nvb, k4 * DNWT)
     cflat = jnp.broadcast_to(
-        jnp.repeat(jnp.arange(k8, dtype=jnp.int32), DNWT)[None],
-        (nvb, k8 * DNWT))
+        jnp.repeat(jnp.arange(k4, dtype=jnp.int32), DNWT)[None],
+        (nvb, k4 * DNWT))
     _, it_start, it_col = jax.lax.sort(
         (dflat, sflat, cflat), num_keys=1, dimension=1)
     it_start = it_start[:, :DNWT]
     it_col = it_col[:, :DNWT]
     overflow = overflow | jnp.any(total > DNWT)
-    it_off = jnp.minimum(offs.T, DNWT).astype(jnp.int32)   # [nvb, 9]
+    it_off = jnp.minimum(offs.T, DNWT).astype(jnp.int32)   # [nvb, 5]
     return dict(it_off=it_off.reshape(-1), it_col=it_col.reshape(-1),
                 it_start=it_start.reshape(-1),
-                overflow=overflow, v_pad=v_pad, nvb=nvb, n_stage=n_ceil + DWIN)
+                overflow=overflow, v_pad=v_pad, nvb=nvb,
+                n_stage=n_ceil + DWIN)
 
 
-# ---------------------------------------------------------------- kernel --
-
-
-def _devox_bwd_kernel(cl_pad, nvb, itoff_ref, itcol_ref, itst_ref,
-                      d_hbm, idx_hbm, w_hbm, o_ref, acc_ref,
-                      dwin_ref, iwin_ref, wwin_ref, sem_d, sem_i, sem_w):
+def _bwd_kernel(c_pad, nvb, itoff_ref, itcol_ref, itst_ref,
+                d_hbm, base_hbm, a1_hbm, a2_hbm, o_ref, acc_ref,
+                dwin_ref, bwin_ref, a1win_ref, a2win_ref,
+                sem_d, sem_b, sem_a1, sem_a2):
     """Grid (nvb,): one VBLK-voxel output block per step.
 
-    d_hbm   [n_stage, cl_pad]  staged dout rows (bf16, zero past N)
-    idx_hbm [8, 8, n_stage]    per-corner idx rows (sublane-padded x8; only
-                               row 0 is live — Mosaic requires 8-multiple
-                               sublane extents on DMA'd slices)
-    w_hbm   [8, 8, n_stage]    per-corner weight rows (bf16 like the
-                               forward's cast; row 0 live)
+    d_hbm    [n_stage, c_pad]  staged dout rows (cdt, zero past N)
+    base_hbm [4, 8, n_stage]   per-column base rows (row 0 live; Mosaic
+                               requires 8-multiple sublane extents)
+    a*_hbm   [4, 8, n_stage]   slot weights (cdt, zero on miss/padding)
+    Window starts are 128-aligned (they slice the LANE dim of base/a*).
     """
     b = pl.program_id(0)
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
     cdt = dwin_ref.dtype
     v0 = b * VBLK
-    total = itoff_ref[b * 9 + 8]
+    total = itoff_ref[b * 5 + 4]
 
     def st(i):
         return pl.multiple_of(
-            itst_ref[b * DNWT + jnp.minimum(i, DNWT - 1)], 8)
+            itst_ref[b * DNWT + jnp.minimum(i, DNWT - 1)], 128)
 
     def col(i):
         return itcol_ref[b * DNWT + jnp.minimum(i, DNWT - 1)]
@@ -155,11 +306,14 @@ def _devox_bwd_kernel(cl_pad, nvb, itoff_ref, itcol_ref, itst_ref,
                 d_hbm.at[pl.ds(st(i), DWIN), :], dwin_ref.at[slot],
                 sem_d.at[slot]),
             pltpu.make_async_copy(
-                idx_hbm.at[col(i), :, pl.ds(st(i), DWIN)], iwin_ref.at[slot],
-                sem_i.at[slot]),
+                base_hbm.at[col(i), :, pl.ds(st(i), DWIN)],
+                bwin_ref.at[slot], sem_b.at[slot]),
             pltpu.make_async_copy(
-                w_hbm.at[col(i), :, pl.ds(st(i), DWIN)], wwin_ref.at[slot],
-                sem_w.at[slot]),
+                a1_hbm.at[col(i), :, pl.ds(st(i), DWIN)],
+                a1win_ref.at[slot], sem_a1.at[slot]),
+            pltpu.make_async_copy(
+                a2_hbm.at[col(i), :, pl.ds(st(i), DWIN)],
+                a2win_ref.at[slot], sem_a2.at[slot]),
         )
 
     for i0 in range(NSLOT - 1):
@@ -179,12 +333,14 @@ def _devox_bwd_kernel(cl_pad, nvb, itoff_ref, itcol_ref, itst_ref,
         for cp in dmas(slot, i):
             cp.wait()
         # weighted one-hot: rows = voxels of this block (sublanes), cols =
-        # point rows (lanes); idx/w arrive lane-oriented [8, DWIN], row 0
-        # live — slice reads are fine, only sub-128-lane WRITES are slow
-        idx_w = iwin_ref[slot, 0:1, :]                      # [1, DWIN] i32
-        w_w = wwin_ref[slot, 0:1, :]                        # [1, DWIN]
+        # point rows (lanes); base/a* arrive lane-oriented [8, DWIN] with
+        # row 0 live — slice READS are fine, only sub-128-lane writes slow
+        base_w = bwin_ref[slot, 0:1, :]                   # [1, DWIN] i32
+        a1_w = a1win_ref[slot, 0:1, :].astype(cdt)
+        a2_w = a2win_ref[slot, 0:1, :].astype(cdt)
         iota = jax.lax.broadcasted_iota(jnp.int32, (VBLK, DWIN), 0) + v0
-        oh = (iota == idx_w).astype(cdt) * w_w.astype(cdt)
+        oh = ((iota == base_w).astype(cdt) * a1_w
+              + (iota - 1 == base_w).astype(cdt) * a2_w)
         acc_ref[:] += jnp.dot(oh, dwin_ref[slot],
                               preferred_element_type=f32)
         return 0
@@ -193,24 +349,22 @@ def _devox_bwd_kernel(cl_pad, nvb, itoff_ref, itcol_ref, itst_ref,
     o_ref[:] = acc_ref[:]
 
 
-def _run_devox_bwd(d_p, idx_p, w_p, plan):
+def _run_bwd(d_p, base_p, a1_p, a2_p, plan):
     nvb = plan["nvb"]
     v_pad = plan["v_pad"]
-    cl_pad = d_p.shape[1]
-    kern = partial(_devox_bwd_kernel, cl_pad, nvb)
+    c_pad = d_p.shape[1]
+    kern = partial(_bwd_kernel, c_pad, nvb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nvb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # dout rows, HBM
-            pl.BlockSpec(memory_space=pl.ANY),    # idx rows, HBM
-            pl.BlockSpec(memory_space=pl.ANY),    # weight rows, HBM
-        ],
-        out_specs=pl.BlockSpec((VBLK, cl_pad), lambda b, o, cl, s: (b, 0)),
-        scratch_shapes=[pltpu.VMEM((VBLK, cl_pad), jnp.float32),
-                        pltpu.VMEM((NSLOT, DWIN, cl_pad), d_p.dtype),
-                        pltpu.VMEM((NSLOT, 8, DWIN), idx_p.dtype),
-                        pltpu.VMEM((NSLOT, 8, DWIN), w_p.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec((VBLK, c_pad), lambda b, o, cl, s: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((VBLK, c_pad), jnp.float32),
+                        pltpu.VMEM((NSLOT, DWIN, c_pad), d_p.dtype),
+                        pltpu.VMEM((NSLOT, 8, DWIN), jnp.int32),
+                        pltpu.VMEM((NSLOT, 8, DWIN), a1_p.dtype),
+                        pltpu.VMEM((NSLOT, 8, DWIN), a2_p.dtype),
+                        pltpu.SemaphoreType.DMA((NSLOT,)),
                         pltpu.SemaphoreType.DMA((NSLOT,)),
                         pltpu.SemaphoreType.DMA((NSLOT,)),
                         pltpu.SemaphoreType.DMA((NSLOT,))],
@@ -218,52 +372,113 @@ def _run_devox_bwd(d_p, idx_p, w_p, plan):
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v_pad, cl_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((v_pad, c_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=INTERPRET,
-    )(plan["it_off"], plan["it_col"], plan["it_start"], d_p, idx_p, w_p)
+    )(plan["it_off"], plan["it_col"], plan["it_start"],
+      d_p, base_p, a1_p, a2_p)
 
 
 # -------------------------------------------------------------- wrapper --
 
 
-def devox_transpose_pallas(
-    dout: jax.Array,      # [N, C] point cotangent
-    idx: jax.Array,       # [8, N] int32 corner voxel rows (-1 miss)
-    weights: jax.Array,   # [8, N] trilinear weights (zero on miss)
-    lo: jax.Array,        # [8, V] run bounds (devox_transpose_bounds)
-    hi: jax.Array,        # [8, V]
-    num_voxels: int,
-    *,
-    compute_dtype=jnp.bfloat16,
-) -> jax.Array:
-    """dvox [V, C] f32 = scatter-free transpose of the devoxelize gather."""
-    k8, n = idx.shape
-    v = num_voxels
+def _stage_fwd(voxel_feats, base, a1, a2, n_pad, cdt):
+    v, c = voxel_feats.shape
+    v_ceil = -(-v // 8) * 8
+    c_pad = _lanes(c)
+    v_p = jnp.zeros((v_ceil + WIN, c_pad), cdt)
+    v_p = v_p.at[:v, :c].set(voxel_feats.astype(cdt))
+    pad = ((0, 0), (0, n_pad - base.shape[1]))
+    return v_p, (jnp.pad(base, pad), jnp.pad(a1, pad).astype(jnp.float32),
+                 jnp.pad(a2, pad).astype(jnp.float32)), v_ceil
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _devox_pallas_core(voxel_feats, idx, weights, num_voxels, compute_dtype):
+    out, _ = _devox_pallas_fwd(voxel_feats, idx, weights, num_voxels,
+                               compute_dtype)
+    return out
+
+
+def _devox_pallas_fwd(voxel_feats, idx, weights, num_voxels, compute_dtype):
+    from .voxelize import _devox_apply
+
+    n = idx.shape[1]
+    c = voxel_feats.shape[1]
+    n_pad = -(-n // BLK) * BLK
+    base, a1, a2, hit, adj_bad = fold_corner_columns(idx, weights)
+    v_ceil = -(-num_voxels // 8) * 8
+    cov = plan_cover(
+        jnp.pad(base, ((0, 0), (0, n_pad - n))),
+        jnp.pad(hit, ((0, 0), (0, n_pad - n))),
+        BLK, WIN, clip_max=v_ceil, span=1, nw=NW, nwt=NWT)
+    bad = cov["overflow"] | adj_bad
+
+    def pallas_branch(voxel_feats, idx, weights):
+        v_p, (base_p, a1_p, a2_p), _ = _stage_fwd(
+            voxel_feats, base, a1, a2, n_pad, compute_dtype)
+        plan = dict(cov, base_p=base_p, a1_p=a1_p, a2_p=a2_p)
+        out = _run_fwd(v_p, plan, n_pad)
+        return out[:n, :c]
+
+    def xla_branch(voxel_feats, idx, weights):
+        return _devox_apply(voxel_feats, idx, weights).astype(jnp.float32)
+
+    out = jax.lax.cond(bad, xla_branch, pallas_branch,
+                       voxel_feats, idx, weights)
+    return out.astype(voxel_feats.dtype), (idx, weights, base, a1, a2, hit)
+
+
+def _devox_pallas_bwd(num_voxels, compute_dtype, res, dout):
+    idx, weights, base, a1, a2, hit = res
+    n = idx.shape[1]
     c = dout.shape[1]
-    cl_pad = _lanes(c)
-    plan = build_devox_plan(lo, hi, v, n)
+    c_pad = _lanes(c)
+    plan = build_rev_plan(base, hit, num_voxels, n)
     n_stage = plan["n_stage"]
+    cdt = compute_dtype
 
-    def pallas_branch(dout, idx, weights):
-        d_p = jnp.zeros((n_stage, cl_pad), compute_dtype).at[:n, :c].set(
-            dout.astype(compute_dtype))
-        idx_p = jnp.full((k8, 8, n_stage), -1, jnp.int32).at[:, 0, :n].set(idx)
-        w_p = jnp.zeros((k8, 8, n_stage), compute_dtype).at[:, 0, :n].set(
-            weights.astype(compute_dtype))
-        dvox_p = _run_devox_bwd(d_p, idx_p, w_p, plan)
-        return dvox_p[:v, :c]
+    def pallas_branch(dout):
+        d_p = jnp.zeros((n_stage, c_pad), cdt).at[:n, :c].set(
+            dout.astype(cdt))
+        base_p = jnp.full((4, 8, n_stage), -9, jnp.int32).at[:, 0, :n].set(
+            base)
+        a1_p = jnp.zeros((4, 8, n_stage), cdt).at[:, 0, :n].set(
+            a1.astype(cdt))
+        a2_p = jnp.zeros((4, 8, n_stage), cdt).at[:, 0, :n].set(
+            a2.astype(cdt))
+        dvox_p = _run_bwd(d_p, base_p, a1_p, a2_p, plan)
+        return dvox_p[:num_voxels, :c]
 
-    def xla_branch(dout, idx, weights):
-        # autodiff-equivalent 8 scatter-adds (the baseline this replaces)
-        out = jnp.zeros((v, c), jnp.float32)
-        d16 = dout.astype(compute_dtype)
-        for k in range(k8):
-            contrib = (d16 * weights[k][:, None].astype(compute_dtype)
+    def xla_branch(dout):
+        # the autodiff transpose: 8 scatter-adds at the forward's precision
+        out = jnp.zeros((num_voxels, c), jnp.float32)
+        d16 = dout.astype(cdt)
+        for k in range(8):
+            contrib = (d16 * weights[k][:, None].astype(cdt)
                        ).astype(jnp.float32)
             out = out.at[jnp.maximum(idx[k], 0)].add(
                 jnp.where((idx[k] >= 0)[:, None], contrib, 0.0))
         return out
 
-    return jax.lax.cond(plan["overflow"], xla_branch, pallas_branch,
-                        dout, idx, weights)
+    dvox = jax.lax.cond(plan["overflow"], xla_branch, pallas_branch, dout)
+    return (dvox, None, None)
+
+
+_devox_pallas_core.defvjp(_devox_pallas_fwd, _devox_pallas_bwd)
+
+
+def pallas_devoxelize(
+    voxel_feats: jax.Array,  # [V, C]
+    idx: jax.Array,          # [8, N] int32 corner rows, -1 miss
+    weights: jax.Array,      # [8, N] trilinear weights (zero on miss)
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Drop-in replacement for voxelize._devox_apply (same maths; pallas
+    window kernels on TPU for forward AND backward, XLA fallback on
+    overflow). Requires key-sorted point rows (bounded base disorder) and
+    z-adjacent corner pairs — both violated only on synthetic inputs,
+    which the overflow/adjacency cond routes to the XLA path."""
+    return _devox_pallas_core(voxel_feats, idx, weights,
+                              voxel_feats.shape[0], compute_dtype)

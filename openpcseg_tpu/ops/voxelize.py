@@ -142,15 +142,8 @@ def _devox_fwd(voxel_feats, idx, weights, lo, hi):
 def _devox_bwd(res, dout):
     """Scatter-free transpose: dvox[v] += sum over the contiguous run of
     contributors — a prefix sum of dout*w gathered at the run bounds
-    (replaces autodiff's 8 scatter-adds, profiled at 20 ms/step). With
-    OPENPCSEG_DEVOX_PALLAS=1 the weighted one-hot MXU kernel
-    (ops/pallas_devox.py) takes this path instead."""
+    (replaces autodiff's 8 scatter-adds, profiled at 20 ms/step)."""
     idx, weights, lo, hi, proto = res
-    from .pallas_devox import devox_transpose_pallas, use_pallas_devox
-    if use_pallas_devox():
-        dvox = devox_transpose_pallas(dout, idx, weights, lo, hi,
-                                      lo.shape[1])
-        return (dvox.astype(proto.dtype), None, None, None, None)
     v = lo.shape[1]
     k8, n = idx.shape
     c = dout.shape[1]
@@ -179,8 +172,17 @@ def devoxelize_trilinear(
     hi: jax.Array = None,    # devox_transpose_bounds); None -> autodiff bwd
 ) -> jax.Array:
     """Gather-interpolate voxel features to points (reference
-    devoxelize_cuda.cu:11-33). Returns [N, C]. With (lo, hi) bounds the
-    backward is the scatter-free prefix-sum transpose."""
+    devoxelize_cuda.cu:11-33). Returns [N, C].
+
+    On TPU (OPENPCSEG_DEVOX_PALLAS=auto/1) both directions run the window
+    one-hot MXU kernels (ops/pallas_devox.py) — requires key-sorted point
+    rows, which every production caller (core/geometry.py) guarantees; the
+    kernel's overflow cond falls back to this XLA path otherwise. With
+    (lo, hi) bounds the backward is the scatter-free prefix-sum transpose;
+    plain autodiff (8 scatter-adds) otherwise."""
+    from .pallas_devox import pallas_devoxelize, use_pallas_devox
+    if use_pallas_devox():
+        return pallas_devoxelize(voxel_feats, idx, weights)
     if lo is not None and hi is not None:
         return _devox_core(voxel_feats, idx, weights, lo, hi)
     return _devox_apply(voxel_feats, idx, weights)
