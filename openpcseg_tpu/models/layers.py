@@ -263,6 +263,75 @@ class Bottleneck(nn.Module):
         return jax.nn.relu(x + sc)
 
 
+class _ScanBody(nn.Module):
+    """(carry, broadcast...) -> (carry, None) adapter for nn.scan over a
+    residual block whose in/out channel counts match."""
+
+    block_cls: Callable
+    features: int
+    axis_name: Optional[str]
+    compute_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, kmap, valid, train: bool):
+        x = self.block_cls(
+            self.features, axis_name=self.axis_name,
+            compute_dtype=self.compute_dtype)(carry, kmap, valid, train)
+        return x, None
+
+
+class StackedBlocks(nn.Module):
+    """`n` identical channel-preserving residual blocks traced and compiled
+    ONCE via nn.scan over axis-0-stacked parameters, instead of n unrolled
+    copies in the jaxpr/HLO.
+
+    Valid only when every block's input channels == `features` (identity
+    shortcut), i.e. blocks 2..n of a UNet stage — the stage's first block
+    (channel change, conv shortcut) stays unrolled at the call site. The
+    kernel map / validity mask are loop-invariant (nn.broadcast); batch
+    stats stack on axis 0 and update per-iteration like the unrolled form.
+    Cuts the MinkUNet mk34 train-step trace+compile roughly in half
+    (ROADMAP round-4 compile-time attack; the reference has no analog —
+    torch re-traces nothing, but XLA pays per-instruction compile cost)."""
+
+    block_cls: Callable
+    features: int
+    n: int
+    axis_name: Optional[str] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, kmap, valid, train: bool):
+        scanned = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.n,
+        )(self.block_cls, self.features, self.axis_name, self.compute_dtype)
+        x, _ = scanned(feats, kmap, valid, train)
+        return x
+
+
+def repeated_blocks(block_cls, features, n, axis_name, compute_dtype,
+                    x, kmap, valid, train):
+    """First block unrolled (it may change channel count / own a conv
+    shortcut), remaining n-1 through the single-compile StackedBlocks scan.
+    OPENPCSEG_SCAN_BLOCKS=0 restores full unrolling (A/B escape hatch)."""
+    x = block_cls(features, axis_name=axis_name,
+                  compute_dtype=compute_dtype)(x, kmap, valid, train)
+    rest = n - 1
+    if rest <= 0:
+        return x
+    if _os.environ.get("OPENPCSEG_SCAN_BLOCKS", "1") == "0" or rest == 1:
+        for _ in range(rest):
+            x = block_cls(features, axis_name=axis_name,
+                          compute_dtype=compute_dtype)(x, kmap, valid, train)
+        return x
+    return StackedBlocks(block_cls, features, rest, axis_name,
+                         compute_dtype)(x, kmap, valid, train)
+
+
 BLOCKS: dict[str, Callable] = {
     "ResBlock": ResidualBlock,
     "Bottleneck": Bottleneck,

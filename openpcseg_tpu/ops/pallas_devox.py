@@ -66,9 +66,9 @@ DNWT = int(_os.environ.get("OPENPCSEG_DEVOX_NWT", 128))   # max items/block
 
 def use_pallas_devox() -> bool:
     """OPENPCSEG_DEVOX_PALLAS: 1 force-on, 0 force-off, auto = on when the
-    default backend is a real TPU. Default stays "0" until the explicit
-    TPU A/B (flip to "auto" when it wins the bench)."""
-    v = _os.environ.get("OPENPCSEG_DEVOX_PALLAS", "0")
+    default backend is a real TPU. Default "auto" since the round-4 TPU
+    A/B: 4.87 vs 4.65 scans/s/chip on the MinkUNet bench (BASELINE.md)."""
+    v = _os.environ.get("OPENPCSEG_DEVOX_PALLAS", "auto")
     if v in ("0", "1"):
         return v == "1"
     try:
@@ -426,11 +426,13 @@ def _devox_pallas_fwd(voxel_feats, idx, weights, num_voxels, compute_dtype):
 
     out = jax.lax.cond(bad, xla_branch, pallas_branch,
                        voxel_feats, idx, weights)
-    return out.astype(voxel_feats.dtype), (idx, weights, base, a1, a2, hit)
+    proto = jnp.zeros((), voxel_feats.dtype)  # dtype carrier for the bwd
+    return (out.astype(voxel_feats.dtype),
+            (idx, weights, base, a1, a2, hit, proto))
 
 
 def _devox_pallas_bwd(num_voxels, compute_dtype, res, dout):
-    idx, weights, base, a1, a2, hit = res
+    idx, weights, base, a1, a2, hit, proto = res
     n = idx.shape[1]
     c = dout.shape[1]
     c_pad = _lanes(c)
@@ -461,8 +463,11 @@ def _devox_pallas_bwd(num_voxels, compute_dtype, res, dout):
                 jnp.where((idx[k] >= 0)[:, None], contrib, 0.0))
         return out
 
+    # cotangent dtype must match the primal voxel_feats dtype: other
+    # consumers of the same table (residual adds) contribute bf16
+    # cotangents, and ad.add_tangents asserts typematch across them
     dvox = jax.lax.cond(plan["overflow"], xla_branch, pallas_branch, dout)
-    return (dvox, None, None)
+    return (dvox.astype(proto.dtype), None, None)
 
 
 _devox_pallas_core.defvjp(_devox_pallas_fwd, _devox_pallas_bwd)

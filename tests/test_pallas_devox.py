@@ -113,3 +113,23 @@ def test_bf16_compute_dtype_close(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_primal_dual_consumer_grad(rng):
+    """Regression (round-4 TPU crash): a bf16 voxel table consumed by BOTH
+    the devox kernel and a residual path gets two cotangent contributions;
+    ad.add_tangents asserts they typematch, so the custom-vjp backward must
+    return the cotangent in the primal dtype (was: f32 vs bf16 assert at
+    [37376, 128] in the MinkUNet bench)."""
+    n, v, c = 100, 40, 16
+    vf, idx, w = _mk(rng, n, v, c)
+    vf16 = vf.astype(jnp.bfloat16)
+
+    def loss(vf):
+        pts = pd.pallas_devoxelize(vf, idx, w)        # consumer 1
+        resid = vf.astype(jnp.float32).sum()          # consumer 2 (bf16 ct)
+        return pts.astype(jnp.float32).sum() + resid
+
+    g = jax.jit(jax.grad(loss))(vf16)
+    assert g.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
