@@ -22,7 +22,8 @@ from flax import linen as nn
 
 from ..core.tensor import VoxelPyramid
 from ..ops.voxelize import voxelize_mean
-from .layers import BLOCKS, BasicConvBlock, MaskedBatchNorm, SparseConv
+from .layers import (BLOCKS, BasicConvBlock, MaskedBatchNorm, SparseConv,
+                     repeated_blocks)
 
 
 class PointTransform(nn.Module):
@@ -65,12 +66,9 @@ class SPVCNN(nn.Module):
             feats.shape[-1], kernel_size=2, axis_name=self.axis_name,
             compute_dtype=self.compute_dtype,
         )(feats, coarse.down_kmap, coarse.valid, train, kmap_t=fine.up_kmap)
-        for _ in range(n_blocks):
-            x = block_cls(
-                planes, axis_name=self.axis_name,
-                compute_dtype=self.compute_dtype,
-            )(x, coarse.subm_kmap, coarse.valid, train)
-        return x
+        return repeated_blocks(
+            block_cls, planes, n_blocks, self.axis_name, self.compute_dtype,
+            x, coarse.subm_kmap, coarse.valid, train)
 
     def _up(self, feats, skip_feats, coarse, fine, planes, n_blocks,
             block_cls, train):
@@ -81,12 +79,9 @@ class SPVCNN(nn.Module):
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, fine.valid, not train)
         x = jax.nn.relu(x)
         x = jnp.concatenate([x, skip_feats], axis=-1)
-        for _ in range(n_blocks):
-            x = block_cls(
-                planes, axis_name=self.axis_name,
-                compute_dtype=self.compute_dtype,
-            )(x, fine.subm_kmap, fine.valid, train)
-        return x
+        return repeated_blocks(
+            block_cls, planes, n_blocks, self.axis_name, self.compute_dtype,
+            x, fine.subm_kmap, fine.valid, train)
 
     @nn.compact
     def __call__(self, voxel_feats: jax.Array, pyr: VoxelPyramid,
