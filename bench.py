@@ -27,6 +27,11 @@ from openpcseg_tpu.engine import SegTask
 # reference A100 training throughput (see module docstring)
 BASELINE_SCANS_PER_SEC_PER_CHIP = 36 * 19130 / (12.0 * 3600) / 2
 
+# bf16 matmul peak of the bench chip, for the MFU line. TPU v5e (lite):
+# 197 TFLOP/s; override via BENCH_PEAK_TFLOPS when benching elsewhere
+# (v5p: 459, v4: 275).
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+
 
 def mk_cfgs(voxel_cap: int):
     return CfgDict({
@@ -124,6 +129,23 @@ def main():
     state = task.init_state(rng, batch_data)
     step = jax.jit(task.train_step, donate_argnums=(0,))
 
+    # algorithmic conv FLOPs of one forward over this batch, summed from
+    # the per-conv "flops" sow (models/layers.py SparseConv): data-dependent
+    # (hit counts), so measured on the actual bench batch. The train step
+    # does ~3x the forward's conv work (fwd + dfeats + dW); non-conv work
+    # (BN, losses, geometry) is excluded, so `mfu` is a conservative
+    # model-FLOPs utilization, the standard accounting.
+    @jax.jit
+    def _fwd_flops(state, batch):
+        vb, pyr = task.preprocess(batch)
+        _, cols = task.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            task._model_inputs(vb, batch), pyr, train=False,
+            mutable=["flops"],
+        )
+        return sum(jnp.sum(leaf) for leaf in
+                   jax.tree_util.tree_leaves(cols.get("flops", {})))
+
     # compile + warmup. NOTE: through remote-device tunnels (axon),
     # block_until_ready can return before execution completes; only a
     # device_get of a result forces real completion, so all timing
@@ -148,6 +170,12 @@ def main():
     # p50 per-scan inference latency (the second half of the north-star
     # metric, BASELINE.json): single-scan eval_step, per-call device_get
     # sync so each sample is a true end-to-end latency
+    fwd_flops = float(jax.device_get(_fwd_flops(state, batch_data)))
+    train_flops = 3.0 * fwd_flops              # fwd + dfeats + dW
+    steps_per_sec = scans_per_sec / batch
+    achieved_tflops = train_flops * steps_per_sec / 1e12
+    mfu = achieved_tflops / PEAK_TFLOPS
+
     estep = jax.jit(task.eval_step)
     out = estep(state, batch_data)
     jax.device_get(out["hist"]).sum()
@@ -165,6 +193,10 @@ def main():
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC_PER_CHIP, 3),
         "p50_infer_ms_per_scan": round(p50_ms, 1),
+        "model_tflops_per_step": round(train_flops / 1e12, 4),
+        "tflops": round(achieved_tflops, 3),
+        "mfu": round(mfu, 4),
+        "peak_tflops": PEAK_TFLOPS,
     }))
 
 

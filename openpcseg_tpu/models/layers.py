@@ -128,6 +128,16 @@ class SparseConv(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + jnp.where(out_valid[:, None], b, 0.0)
+        # algorithmic FLOPs of this conv (2 * matched-pair count * Cin *
+        # Cout — the gather-GEMM work a hit-exact implementation performs;
+        # reference analog: torchsparse nbsizes totals). Collected only
+        # when the caller makes the "flops" collection mutable (bench.py
+        # MFU accounting); dead code under normal train/eval steps.
+        hits = (jnp.sum(out_valid) if k == 1
+                else jnp.sum(kmap >= 0)).astype(jnp.float32)
+        self.sow("flops", "conv", 2.0 * hits * cin * self.features,
+                 reduce_fn=lambda a, b: a + b,
+                 init_fn=lambda: jnp.float32(0.0))
         return out
 
 
@@ -304,7 +314,7 @@ class StackedBlocks(nn.Module):
     def __call__(self, feats, kmap, valid, train: bool):
         scanned = nn.scan(
             _ScanBody,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "flops": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.n,

@@ -599,6 +599,27 @@ def _stage_dtype(cdt):
     return jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
 
 
+def _strict() -> bool:
+    """Cond-free mode: always run the pallas kernel; on plan overflow the
+    output is NaN-poisoned instead of routed to the XLA fallback.
+
+    Rationale: the per-conv ``lax.cond`` costs a TPU pipeline sync even when
+    the taken branch is the kernel (profiled ~22 ms/step of `conditional.*`
+    self-time at mk34 batch 1 — ~10% of the step, tpu_queue_r04e traces).
+    Overflow needs a block whose monotone base-row cluster spans more than
+    NW*WIN rows — never observed on real or ray-cast scans (p99 spread
+    ~2.7k vs 8k coverage) — so production trades the dead branch for a loud
+    failure: any overflow poisons the result with NaN (loss turns NaN the
+    same step) rather than silently dropping contributions."""
+    return _os.environ.get("OPENPCSEG_PALLAS_STRICT", "0") == "1"
+
+
+def _poison(x, flag):
+    """x + NaN where flag (scalar bool) is set — fuses into the epilogue."""
+    return x + jnp.where(flag, jnp.float32(jnp.nan), jnp.float32(0.0)
+                         ).astype(x.dtype)
+
+
 def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
     """lax.cond between the pallas kernel and the XLA window conv."""
     def pallas_branch(feats, weights):
@@ -613,6 +634,8 @@ def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
     def xla_branch(feats, weights):
         return _window_conv_impl(feats, weights, kmap, offsets_key, cdt)
 
+    if _strict():
+        return _poison(pallas_branch(feats, weights), plan["overflow"])
     return jax.lax.cond(
         plan["overflow"], xla_branch, pallas_branch, feats, weights)
 
@@ -668,8 +691,13 @@ def _core_bwd(offsets_key, compute_dtype, sizes, res, dout):
             offsets_key, cdt, (feats, weights, kmap), dout)
         return dfeats.astype(jnp.float32), dw.astype(jnp.float32)
 
-    dfeats, dw = jax.lax.cond(
-        plan_overflow, xla_branch, pallas_branch, feats, weights, dout)
+    if _strict():
+        dfeats, dw = pallas_branch(feats, weights, dout)
+        dfeats = _poison(dfeats, plan_overflow)
+        dw = _poison(dw, plan_overflow)
+    else:
+        dfeats, dw = jax.lax.cond(
+            plan_overflow, xla_branch, pallas_branch, feats, weights, dout)
     return (dfeats.astype(feats.dtype), dw.astype(weights.dtype), None,
             None, None, None, None, None, None)
 

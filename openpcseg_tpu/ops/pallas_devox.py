@@ -424,8 +424,12 @@ def _devox_pallas_fwd(voxel_feats, idx, weights, num_voxels, compute_dtype):
     def xla_branch(voxel_feats, idx, weights):
         return _devox_apply(voxel_feats, idx, weights).astype(jnp.float32)
 
-    out = jax.lax.cond(bad, xla_branch, pallas_branch,
-                       voxel_feats, idx, weights)
+    from .pallas_conv import _poison, _strict
+    if _strict():
+        out = _poison(pallas_branch(voxel_feats, idx, weights), bad)
+    else:
+        out = jax.lax.cond(bad, xla_branch, pallas_branch,
+                           voxel_feats, idx, weights)
     proto = jnp.zeros((), voxel_feats.dtype)  # dtype carrier for the bwd
     return (out.astype(voxel_feats.dtype),
             (idx, weights, base, a1, a2, hit, proto))
@@ -466,7 +470,12 @@ def _devox_pallas_bwd(num_voxels, compute_dtype, res, dout):
     # cotangent dtype must match the primal voxel_feats dtype: other
     # consumers of the same table (residual adds) contribute bf16
     # cotangents, and ad.add_tangents asserts typematch across them
-    dvox = jax.lax.cond(plan["overflow"], xla_branch, pallas_branch, dout)
+    from .pallas_conv import _poison, _strict
+    if _strict():
+        dvox = _poison(pallas_branch(dout), plan["overflow"])
+    else:
+        dvox = jax.lax.cond(plan["overflow"], xla_branch, pallas_branch,
+                            dout)
     return (dvox.astype(proto.dtype), None, None)
 
 

@@ -31,9 +31,20 @@ def main():
     with gzip.open(path, "rt") as f:
         ev = json.load(f)["traceEvents"]
 
+    # only the "XLA Ops" thread carries leaf ops; the "Steps" and "XLA
+    # Modules" threads duplicate the whole step as one span each (the
+    # round-4 "<no source> 880 ms" was exactly this double count)
+    op_tids = set()
+    for e in ev:
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["args"].get("name") == "XLA Ops"):
+            op_tids.add((e.get("pid"), e.get("tid")))
+
     tracks = collections.defaultdict(list)
     for e in ev:
         if e.get("ph") != "X":
+            continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
         a = e.get("args") or {}
         d = a.get("device_duration_ps")
