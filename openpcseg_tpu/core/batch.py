@@ -42,6 +42,9 @@ class VoxelBatch:
     point_valid: jax.Array     # [B*Np] bool
     point_batch: jax.Array     # [B*Np] int32 scan index of each point
     num_voxels: jax.Array      # [] int32 true voxel count (may exceed V)
+    # per-scan true counts ([B]; set by the per-scan voxelizers, where each
+    # scan owns a fixed cap slice and overflow is per slice)
+    num_voxels_per_scan: jax.Array | None = None
     voxel_rep: jax.Array | None = None     # [V] int32 first-point row per
                                            # voxel (for gathering per-point
                                            # side data, e.g. RPVNet's pxpy)
@@ -102,6 +105,74 @@ def voxelize_points_batch(
         point_batch=jnp.where(flat_valid, batch_idx.reshape(-1), -1),
         num_voxels=uniq.num_unique,
         voxel_rep=jnp.where(uniq.valid, rep_safe, -1),
+    )
+
+
+def voxelize_points_per_scan(
+    xyz: jax.Array,      # [B, Np, 3]
+    feats: jax.Array,    # [B, Np, C]
+    labels: jax.Array,   # [B, Np]
+    valid: jax.Array,    # [B, Np]
+    *,
+    voxel_size: float,
+    voxel_cap: int,      # PER-SCAN capacity
+) -> VoxelBatch:
+    """Per-scan variant of :func:`voxelize_points_batch`: scan b dedups into
+    its own [b*cap, (b+1)*cap) slice of the voxel table.
+
+    Why: with one batch-summed table, every sort / tree search / padded
+    buffer is O(total voxels) — lax.sort and the 16-ary lookup tree pay a
+    log(total) factor per element, measured as a real ~8%/18% per-scan
+    regression at batch 2/4 with IDENTICAL per-scan workload (BASELINE.md
+    round-4 BENCH_DUP sweep). vmapping over scans keeps every table
+    O(per-scan); the flat concatenation is still globally key-ordered
+    *within each slice*, which is the only invariant the window convs and
+    devox kernels need (padding keys between slices can't alias: they are
+    INT32_MAX, and cross-slice z-adjacency is impossible because the batch
+    index lives in the key high bits).
+    """
+    b, n_pts, _ = xyz.shape
+
+    def one(xyz1, feats1, labels1, valid1, bidx):
+        grid = jnp.round(xyz1 / voxel_size).astype(jnp.int32)
+        big = jnp.iinfo(jnp.int32).max
+        masked = jnp.where(valid1[:, None], grid, big)
+        mins = jnp.min(masked, axis=0, keepdims=True)
+        mins = jnp.where(mins == big, 0, mins)
+        grid = grid - mins
+        coords = jnp.concatenate(
+            [jnp.full((n_pts, 1), 0, jnp.int32) + bidx, grid], axis=1)
+        uniq = unique_coords(coords, valid1, voxel_cap)
+        rep = segment_min_index(uniq.inverse, voxel_cap)
+        rep_safe = jnp.minimum(rep, n_pts - 1)
+        vfeats = jnp.where(uniq.valid[:, None], feats1[rep_safe], 0.0)
+        vlabels = jnp.where(uniq.valid, labels1[rep_safe], -1)
+        return (uniq.coords, uniq.valid, uniq.keys.hi, uniq.keys.lo,
+                vfeats, vlabels, uniq.inverse, uniq.num_unique, rep_safe)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    (coords, vvalid, khi, klo, vfeats, vlabels, inverse, nuniq,
+     rep) = jax.vmap(one)(xyz, feats, labels, valid, bidx)
+
+    off_v = (bidx * voxel_cap)[:, None]
+    off_p = (bidx * n_pts)[:, None]
+    vvalid_flat = vvalid.reshape(-1)
+    batch_idx = jnp.broadcast_to(bidx[:, None], (b, n_pts))
+    flat_valid = valid.reshape(-1)
+    return VoxelBatch(
+        voxel_coords=coords.reshape(-1, 4),
+        voxel_valid=vvalid_flat,
+        voxel_keys_hi=khi.reshape(-1),
+        voxel_keys_lo=klo.reshape(-1),
+        voxel_feats=vfeats.reshape(b * voxel_cap, -1),
+        voxel_labels=vlabels.reshape(-1),
+        inverse_map=jnp.where(inverse >= 0, inverse + off_v, -1).reshape(-1),
+        point_labels=labels.reshape(-1),
+        point_valid=flat_valid,
+        point_batch=jnp.where(flat_valid, batch_idx.reshape(-1), -1),
+        num_voxels=jnp.sum(nuniq),
+        num_voxels_per_scan=nuniq,
+        voxel_rep=jnp.where(vvalid_flat, (rep + off_p).reshape(-1), -1),
     )
 
 
@@ -179,5 +250,61 @@ def cylinder_points_batch(
         point_batch=jnp.where(flat_valid, batch_idx.reshape(-1), -1),
         num_voxels=uniq.num_unique,
         point_feats=flat_feats,
+        point_grid=grid.reshape(-1, 3).astype(jnp.float32),
+    )
+
+
+def cylinder_points_per_scan(
+    xyz, extra, labels, valid, *,
+    space_min, space_max, grid_size, voxel_cap: int, num_class: int,
+) -> VoxelBatch:
+    """Per-scan variant of :func:`cylinder_points_batch` (same rationale as
+    :func:`voxelize_points_per_scan`: O(per-scan) tables)."""
+    b, n_pts, _ = xyz.shape
+    mn = jnp.asarray(space_min, jnp.float32)
+    mx = jnp.asarray(space_max, jnp.float32)
+    gs = jnp.asarray(grid_size, jnp.float32)
+    intervals = (mx - mn) / (gs - 1.0)
+
+    pol = cart2polar(xyz)
+    pol = pol.at[..., 1].multiply(180.0 / jnp.pi)
+    clipped = jnp.clip(pol, mn, mx)
+    grid = jnp.floor((clipped - mn) / intervals).astype(jnp.int32)
+    centers = (grid.astype(jnp.float32) + 0.5) * intervals + mn
+    feats = jnp.concatenate([centers, pol, xyz[..., :2], extra], axis=-1)
+
+    def one(grid1, labels1, valid1, bidx):
+        coords = jnp.concatenate(
+            [jnp.full((n_pts, 1), 0, jnp.int32) + bidx, grid1], axis=1)
+        uniq = unique_coords(coords, valid1, voxel_cap)
+        safe_lab = jnp.clip(labels1, 0, num_class - 1)
+        onehot = jax.nn.one_hot(safe_lab, num_class, dtype=jnp.int32)
+        onehot = onehot * valid1[:, None].astype(jnp.int32)
+        counts = segment_sum(onehot, uniq.inverse, voxel_cap)
+        vlabels = jnp.where(uniq.valid, jnp.argmax(counts, axis=-1), -1)
+        return (uniq.coords, uniq.valid, uniq.keys.hi, uniq.keys.lo,
+                vlabels.astype(jnp.int32), uniq.inverse, uniq.num_unique)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    (coords, vvalid, khi, klo, vlabels, inverse, nuniq) = jax.vmap(one)(
+        grid, labels, valid, bidx)
+
+    off_v = (bidx * voxel_cap)[:, None]
+    batch_idx = jnp.broadcast_to(bidx[:, None], (b, n_pts))
+    flat_valid = valid.reshape(-1)
+    return VoxelBatch(
+        voxel_coords=coords.reshape(-1, 4),
+        voxel_valid=vvalid.reshape(-1),
+        voxel_keys_hi=khi.reshape(-1),
+        voxel_keys_lo=klo.reshape(-1),
+        voxel_feats=jnp.zeros((b * voxel_cap, 1), jnp.float32),
+        voxel_labels=vlabels.reshape(-1),
+        inverse_map=jnp.where(inverse >= 0, inverse + off_v, -1).reshape(-1),
+        point_labels=labels.reshape(-1),
+        point_valid=flat_valid,
+        point_batch=jnp.where(flat_valid, batch_idx.reshape(-1), -1),
+        num_voxels=jnp.sum(nuniq),
+        num_voxels_per_scan=nuniq,
+        point_feats=feats.reshape(b * n_pts, -1),
         point_grid=grid.reshape(-1, 3).astype(jnp.float32),
     )

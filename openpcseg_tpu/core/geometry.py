@@ -308,3 +308,109 @@ def build_pyramid(
         p2v=p2v,
         level_counts=jnp.stack(level_counts),
     )
+
+
+def _flatten_pyramid(pyr_b: VoxelPyramid, caps: Sequence[int]) -> VoxelPyramid:
+    """Flatten a vmapped (per-scan) pyramid into the flat-table layout every
+    model consumes: scan b's level-l rows occupy [b*caps[l], (b+1)*caps[l]);
+    kernel-map entries get their scan's row offset (misses stay -1).
+    level_counts stays [B, L] so overflow is judged per scan slice."""
+    nb = pyr_b.levels[0].coords.shape[0]
+    npts = pyr_b.points.coords.shape[1]
+    num_levels = len(pyr_b.levels)
+
+    def flat_rows(idx_b, target_l, row_count):
+        """[B, K, n] per-scan indices into level target_l -> [K, B*n]."""
+        if idx_b is None:
+            return None
+        off = (jnp.arange(nb, dtype=idx_b.dtype)
+               * row_count(target_l))[:, None, None]
+        g = jnp.where(idx_b >= 0, idx_b + off, -1)
+        return jnp.swapaxes(g, 0, 1).reshape(g.shape[1], -1)
+
+    def cap_of(l):
+        return caps[l]
+
+    levels = []
+    for l, lvl in enumerate(pyr_b.levels):
+        levels.append(SparseLevel(
+            coords=lvl.coords.reshape(-1, 4),
+            valid=lvl.valid.reshape(-1),
+            keys=Keys(lvl.keys.hi.reshape(-1), lvl.keys.lo.reshape(-1)),
+            stride=lvl.stride,
+            subm_kmap=flat_rows(lvl.subm_kmap, l, cap_of),
+            down_kmap=flat_rows(lvl.down_kmap, l - 1, cap_of),
+            up_kmap=flat_rows(lvl.up_kmap, l + 1, cap_of),
+            up_one_hot=lvl.up_one_hot,
+        ))
+
+    points = PointBuffer(
+        coords=pyr_b.points.coords.reshape(-1, 3),
+        batch=pyr_b.points.batch.reshape(-1),
+        valid=pyr_b.points.valid.reshape(-1),
+    )
+    p2v0_b = pyr_b.point_to_voxel0                     # [B, n]
+    off0 = (jnp.arange(nb, dtype=p2v0_b.dtype) * caps[0])[:, None]
+    p2v0 = jnp.where(p2v0_b >= 0, p2v0_b + off0, -1).reshape(-1)
+
+    devox = {}
+    for l, tbl in pyr_b.devox.items():
+        if tbl.identity:
+            devox[l] = DevoxTable(idx=tbl.idx[0], weights=tbl.weights[0],
+                                  identity=True)
+            continue
+        devox[l] = DevoxTable(
+            idx=flat_rows(tbl.idx, l, cap_of),
+            weights=jnp.swapaxes(tbl.weights, 0, 1).reshape(8, -1),
+        )
+    p2v = {}
+    for l, idx_b in pyr_b.p2v.items():
+        off = (jnp.arange(nb, dtype=idx_b.dtype) * caps[l])[:, None]
+        p2v[l] = jnp.where(idx_b >= 0, idx_b + off, -1).reshape(-1)
+
+    del npts, num_levels
+    return VoxelPyramid(
+        levels=tuple(levels), points=points, point_to_voxel0=p2v0,
+        devox=devox, p2v=p2v, level_counts=pyr_b.level_counts,
+    )
+
+
+def build_pyramid_per_scan(
+    coords0: jax.Array,                 # [B, cap0, 4] per-scan sorted tables
+    valid0: jax.Array,                  # [B, cap0]
+    caps: Sequence[int],                # PER-SCAN capacities
+    *,
+    subm_kernel: Union[KernelSize, Sequence[Optional[KernelSize]]] = 3,
+    updown_kernel: int = 2,
+    down_factors: Optional[Sequence] = None,
+    point_coords: Optional[jax.Array] = None,   # [B, P, 3]
+    point_batch: Optional[jax.Array] = None,    # [B, P]
+    point_valid: Optional[jax.Array] = None,    # [B, P]
+    devox_levels: Sequence[int] = (),
+    p2v_levels: Sequence[int] = (),
+    level0_keys: Optional[Keys] = None,         # Keys over [B, cap0]
+    point_to_voxel0: Optional[jax.Array] = None,  # [B, P] LOCAL indices
+) -> VoxelPyramid:
+    """vmap :func:`build_pyramid` over scans, then flatten to the standard
+    flat-table layout. Every sort / tree search / kernel map stays
+    O(per-scan voxels) — see core/batch.py voxelize_points_per_scan for the
+    measured batch>1 super-linear cost this removes."""
+    assert level0_keys is not None, "per-scan pyramid needs level-0 keys"
+    kw = dict(subm_kernel=subm_kernel, updown_kernel=updown_kernel,
+              down_factors=down_factors, devox_levels=devox_levels,
+              p2v_levels=p2v_levels)
+
+    if point_coords is None:
+        def one(c, v, kh, kl):
+            return build_pyramid(c, v, caps, level0_keys=Keys(kh, kl), **kw)
+        pyr_b = jax.vmap(one)(coords0, valid0,
+                              level0_keys.hi, level0_keys.lo)
+    else:
+        def one(c, v, kh, kl, pc, pb, pv, p2v0):
+            return build_pyramid(
+                c, v, caps, point_coords=pc, point_batch=pb, point_valid=pv,
+                level0_keys=Keys(kh, kl), point_to_voxel0=p2v0, **kw)
+        pyr_b = jax.vmap(one)(
+            coords0, valid0, level0_keys.hi, level0_keys.lo,
+            point_coords, point_batch, point_valid, point_to_voxel0)
+    return _flatten_pyramid(pyr_b, caps)

@@ -18,8 +18,10 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from ..core.batch import VoxelBatch, cylinder_points_batch, voxelize_points_batch
-from ..core.geometry import build_pyramid
+from ..core.batch import (VoxelBatch, cylinder_points_batch,
+                          cylinder_points_per_scan, voxelize_points_batch,
+                          voxelize_points_per_scan)
+from ..core.geometry import build_pyramid, build_pyramid_per_scan
 from ..losses import Losses
 from ..losses.ce import cross_entropy
 from ..models import build_segmentor
@@ -114,6 +116,13 @@ class SegTask:
             self.caps = default_caps(
                 cap0 * batch_per_device, spec["num_levels"], ratios
             )
+            # per-scan table mode (batch > 1): each scan owns a fixed cap
+            # slice at every level, keeping sorts / tree lookups O(per-scan)
+            # — fixes the measured ~8%/18% super-linear per-scan cost at
+            # batch 2/4 (BASELINE.md BENCH_DUP). OPENPCSEG_PER_SCAN=0
+            # restores the round-4 batch-summed tables for A/B.
+            self.caps_per_scan = default_caps(
+                cap0, spec["num_levels"], ratios)
         else:
             # dense range images: loss knobs live on the model config
             # (reference cenet.py:208-221 build_loss_funs)
@@ -167,46 +176,79 @@ class SegTask:
 
     # ---------------------------------------------------------- pipeline --
 
+    def _use_per_scan(self, batch_size: int) -> bool:
+        import os
+        return batch_size > 1 and os.environ.get(
+            "OPENPCSEG_PER_SCAN", "1") != "0"
+
     def preprocess(self, batch: Dict[str, jax.Array]) -> Tuple[VoxelBatch, Any]:
         """Device-side voxelize + geometry pass (pure, jit-able)."""
         spec = self.geom_spec
         from ..ops.coords import Keys
-        if self.modality == "cylinder":
-            vb = cylinder_points_batch(
-                batch["xyz"], batch["feats"][..., 3:], batch["labels"],
-                batch["valid"],
-                space_min=self.cyl_space_min, space_max=self.cyl_space_max,
-                grid_size=self.cyl_grid, voxel_cap=self.caps[0],
-                num_class=self.num_class,
-            )
-            n = vb.point_grid.shape[0]
-            pyr = build_pyramid(
-                vb.voxel_coords, vb.voxel_valid, self.caps,
-                subm_kernel=spec["subm_kernel"],
-                updown_kernel=spec["updown_kernel"],
-                down_factors=spec.get("down_factors"),
-                point_coords=vb.point_grid,
-                point_batch=jnp.maximum(vb.point_batch, 0),
-                point_valid=vb.point_valid,
-                devox_levels=spec["devox_levels"],
-                p2v_levels=spec["p2v_levels"],
-                level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
-                point_to_voxel0=vb.inverse_map,
-            )
-            return vb, pyr
-        vb = voxelize_points_batch(
-            batch["xyz"], batch["feats"], batch["labels"], batch["valid"],
-            voxel_size=self.voxel_size, voxel_cap=self.caps[0],
-        )
-        pyr = build_pyramid(
-            vb.voxel_coords, vb.voxel_valid, self.caps,
+        b = batch["xyz"].shape[0]
+        per_scan = self._use_per_scan(b)
+        caps = self.caps_per_scan if per_scan else self.caps
+        geom_kw = dict(
             subm_kernel=spec["subm_kernel"],
             updown_kernel=spec["updown_kernel"],
             down_factors=spec.get("down_factors"),
             devox_levels=spec["devox_levels"],
             p2v_levels=spec["p2v_levels"],
-            level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
         )
+        if self.modality == "cylinder":
+            mk = cylinder_points_per_scan if per_scan else cylinder_points_batch
+            vb = mk(
+                batch["xyz"], batch["feats"][..., 3:], batch["labels"],
+                batch["valid"],
+                space_min=self.cyl_space_min, space_max=self.cyl_space_max,
+                grid_size=self.cyl_grid, voxel_cap=caps[0],
+                num_class=self.num_class,
+            )
+            if per_scan:
+                inv = vb.inverse_map.reshape(b, -1)
+                off = (jnp.arange(b, dtype=inv.dtype) * caps[0])[:, None]
+                inv_local = jnp.where(inv >= 0, inv - off, -1)
+                bidx = jnp.broadcast_to(
+                    jnp.arange(b, dtype=jnp.int32)[:, None], inv.shape)
+                pyr = build_pyramid_per_scan(
+                    vb.voxel_coords.reshape(b, -1, 4),
+                    vb.voxel_valid.reshape(b, -1), caps,
+                    point_coords=vb.point_grid.reshape(b, -1, 3),
+                    point_batch=bidx,
+                    point_valid=vb.point_valid.reshape(b, -1),
+                    level0_keys=Keys(vb.voxel_keys_hi.reshape(b, -1),
+                                     vb.voxel_keys_lo.reshape(b, -1)),
+                    point_to_voxel0=inv_local, **geom_kw)
+            else:
+                pyr = build_pyramid(
+                    vb.voxel_coords, vb.voxel_valid, caps,
+                    point_coords=vb.point_grid,
+                    point_batch=jnp.maximum(vb.point_batch, 0),
+                    point_valid=vb.point_valid,
+                    level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
+                    point_to_voxel0=vb.inverse_map, **geom_kw)
+            return vb, pyr
+        if per_scan:
+            vb = voxelize_points_per_scan(
+                batch["xyz"], batch["feats"], batch["labels"],
+                batch["valid"],
+                voxel_size=self.voxel_size, voxel_cap=caps[0],
+            )
+            pyr = build_pyramid_per_scan(
+                vb.voxel_coords.reshape(b, -1, 4),
+                vb.voxel_valid.reshape(b, -1), caps,
+                level0_keys=Keys(vb.voxel_keys_hi.reshape(b, -1),
+                                 vb.voxel_keys_lo.reshape(b, -1)),
+                **geom_kw)
+            return vb, pyr
+        vb = voxelize_points_batch(
+            batch["xyz"], batch["feats"], batch["labels"], batch["valid"],
+            voxel_size=self.voxel_size, voxel_cap=caps[0],
+        )
+        pyr = build_pyramid(
+            vb.voxel_coords, vb.voxel_valid, caps,
+            level0_keys=Keys(vb.voxel_keys_hi, vb.voxel_keys_lo),
+            **geom_kw)
         return vb, pyr
 
     def _model_inputs(self, vb: VoxelBatch, batch=None):
@@ -311,10 +353,19 @@ class SegTask:
             loss_fn, has_aux=True)(state.params)
         num_voxels = vb.num_voxels
         # overflow across ALL pyramid levels (deep-level drops would
-        # otherwise be silent); level 0 uses the pre-dedup true count
-        caps_arr = jnp.asarray(self.caps)
-        lvl_over = jnp.sum(jnp.maximum(pyr.level_counts - caps_arr, 0))
-        overflow = jnp.maximum(vb.num_voxels - self.caps[0], 0) + lvl_over
+        # otherwise be silent); level 0 uses the pre-dedup true count.
+        # Per-scan tables carry level_counts [B, L] and per-slice caps.
+        if pyr.level_counts.ndim == 2:
+            caps_arr = jnp.asarray(self.caps_per_scan)
+            lvl_over = jnp.sum(
+                jnp.maximum(pyr.level_counts - caps_arr[None, :], 0))
+            over0 = jnp.sum(jnp.maximum(
+                vb.num_voxels_per_scan - self.caps_per_scan[0], 0))
+        else:
+            caps_arr = jnp.asarray(self.caps)
+            lvl_over = jnp.sum(jnp.maximum(pyr.level_counts - caps_arr, 0))
+            over0 = jnp.maximum(vb.num_voxels - self.caps[0], 0)
+        overflow = over0 + lvl_over
         if self.axis_name is not None:
             grads = jax.lax.pmean(grads, self.axis_name)
             loss = jax.lax.pmean(loss, self.axis_name)

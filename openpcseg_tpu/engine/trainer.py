@@ -375,9 +375,12 @@ class Trainer:
         # matrix never leave the chip. Replaces round 1's 10 sequential
         # batch-1 forwards (~10x fewer dispatches per scan).
         def tta_hist_one(state, db, lab, val):
+            # lab/val arrive scan-stacked ([scans_per_device=1, N]) in BOTH
+            # the mesh and single-device paths — one shape, no dual code
             probs = pstep(state, db)           # [voting, N, C]
             pred = jnp.argmax(probs.mean(axis=0), axis=-1).astype(jnp.int32)
-            return confusion_matrix(pred, lab, val, self.num_class)
+            return confusion_matrix(pred, lab.reshape(-1), val.reshape(-1),
+                                    self.num_class)
 
         n_dev = self.num_devices if self.mesh is not None else 1
 
@@ -428,10 +431,7 @@ class Trainer:
                 jnp.zeros_like(jnp.asarray(v[0][val_key]))
                 for i, v in enumerate(votes_per_scan)])
             fn = get_tta_hist(db)
-            if self.mesh is not None:
-                h = fn(self.state, db, lab, val)
-            else:
-                h = fn(self.state, db, lab[0], val[0])
+            h = fn(self.state, db, lab, val)
             hist += np.asarray(jax.device_get(h), np.int64)
         miou, _ = miou_from_hist(hist, np.arange(self.num_class - 1))
         self.logger.info(f"TTA val mIoU: {miou:.2f}")

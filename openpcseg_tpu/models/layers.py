@@ -295,9 +295,11 @@ class StackedBlocks(nn.Module):
     ONCE via nn.scan over axis-0-stacked parameters, instead of n unrolled
     copies in the jaxpr/HLO.
 
-    Valid only when every block's input channels == `features` (identity
-    shortcut), i.e. blocks 2..n of a UNet stage — the stage's first block
-    (channel change, conv shortcut) stays unrolled at the call site. The
+    Valid only when every block is channel-preserving end to end, i.e. its
+    input channels == `features * block expansion` (identity shortcut) —
+    blocks 2..n of a UNet stage; for Bottleneck (expansion=4) the carried
+    width is features*4. The stage's first block (channel change, conv
+    shortcut) stays unrolled at the call site. The
     kernel map / validity mask are loop-invariant (nn.broadcast); batch
     stats stack on axis 0 and update per-iteration like the unrolled form.
     Cuts the MinkUNet mk34 train-step trace+compile roughly in half
@@ -327,7 +329,14 @@ def repeated_blocks(block_cls, features, n, axis_name, compute_dtype,
                     x, kmap, valid, train):
     """First block unrolled (it may change channel count / own a conv
     shortcut), remaining n-1 through the single-compile StackedBlocks scan.
-    OPENPCSEG_SCAN_BLOCKS=0 restores full unrolling (A/B escape hatch)."""
+
+    OPENPCSEG_SCAN_BLOCKS=0 restores full unrolling — a COMPILE-TIME A/B
+    escape hatch only: nn.scan's split_rngs draws per-iteration init RNGs
+    differently from unrolled modules, so the two arms start from different
+    initializations (compare accuracy by transplanting params, as
+    tests/test_stacked_blocks.py does, not by seed-matched runs), and their
+    checkpoint layouts are incompatible (merge_matching fails loudly on a
+    mismatch — utils/checkpoint.py _scan_layout_mismatch)."""
     x = block_cls(features, axis_name=axis_name,
                   compute_dtype=compute_dtype)(x, kmap, valid, train)
     rest = n - 1

@@ -55,6 +55,14 @@ BLK = int(_os.environ.get("OPENPCSEG_PALLAS_BLK", 512))   # rows per step
 WIN = int(_os.environ.get("OPENPCSEG_PALLAS_WIN", 512))   # window rows
 NW = int(_os.environ.get("OPENPCSEG_PALLAS_NW", 16))      # max windows/col
 NWT = int(_os.environ.get("OPENPCSEG_PALLAS_NWT", 64))    # max windows/block
+# column grouping: GSIZE consecutive kernel columns (the column plan orders
+# them row-major over (dx, dy), so consecutive triples share dx) share ONE
+# window cover and one DMA per window. Their bases differ only by a y-step
+# (a few z-run lengths in sorted-row space), so the union cover needs barely
+# more windows than one column — and the per-item DMA-latency stall, the
+# measured bottleneck (see _pipeline_helpers), is paid ~1/GSIZE as often.
+# 1 = ungrouped (round-4 behavior), 3 = per-dx grouping.
+GSIZE = int(_os.environ.get("OPENPCSEG_PALLAS_GROUP", 1))
 # DMA pipeline depth: 4-deep measured slightly WORSE than plain double
 # buffering (L0 4.06 vs 3.99 ms, L1 3.67 vs 3.32) — the per-item stall is
 # not DMA latency (see _pipeline_helpers), so extra slots only add VMEM
@@ -98,6 +106,17 @@ def _vmem_cost(blk: int, win: int, ncols: int, cin: int, cout: int) -> int:
     return oh + winbuf + acc + dw + w + feats + plan
 
 
+def _vmem_limit_for(ncols: int, cin: int, cout: int, blk: int, win: int
+                    ) -> int:
+    """Per-call scoped-VMEM ceiling: at least the module default, raised to
+    the cost model's estimate (+25% slack) for wide-channel convs — the
+    decoder's 384-in/256-out backward needs ~34 MB and a fixed 32 MB limit
+    OOMs once the cond wrapper no longer isolates the kernel's liveness
+    (observed in the round-5 strict-mode bench)."""
+    return max(VMEM_LIMIT,
+               int(_vmem_cost(blk, win, ncols, cin, cout) * 1.25))
+
+
 def _size_policy(ncols: int, cin: int, cout: int) -> Tuple[int, int]:
     """(blk, win) for one conv: largest ladder entry fitting the VMEM
     budget; module BLK/WIN (env-overridable, test-monkeypatchable) are the
@@ -125,7 +144,8 @@ def _size_policy(ncols: int, cin: int, cout: int) -> Tuple[int, int]:
 
 def build_window_plan(kmap: jax.Array, offsets_key,
                       blk: int | None = None,
-                      win: int | None = None) -> dict:
+                      win: int | None = None,
+                      gsize: int | None = None) -> dict:
     """XLA-side precompute shared by fwd/bwd kernels.
 
     Returns dict with:
@@ -140,8 +160,11 @@ def build_window_plan(kmap: jax.Array, offsets_key,
     """
     blk = BLK if blk is None else blk
     win = WIN if win is None else win
+    gsize = GSIZE if gsize is None else gsize
     win_cols, plain = _COLUMN_PLANS[offsets_key]
     assert not plain, "pallas window conv requires full z-extent columns"
+    if len(win_cols) % gsize:
+        gsize = 1
     n = kmap.shape[1]
     np_pad = -(-n // blk) * blk
     nb = np_pad // blk
@@ -172,9 +195,21 @@ def build_window_plan(kmap: jax.Array, offsets_key,
         base = jnp.pad(base, pad)
         bits = jnp.pad(bits, pad)
 
-    cov = plan_cover(base, bits != 0, blk, win, clip_max=np_pad)
+    ncols = len(win_cols)
+    if gsize == 1:
+        cov = plan_cover(base, bits != 0, blk, win, clip_max=np_pad)
+    else:
+        # union cover per (group, block): interleave the group members'
+        # bases within each block so plan_cover sees one [ng, nb, gs*blk]
+        # base set; the same windows then serve every member column
+        ng = ncols // gsize
+        def regroup(x):
+            return (x.reshape(ng, gsize, nb, blk).transpose(0, 2, 1, 3)
+                    .reshape(ng, nb * gsize * blk))
+        cov = plan_cover(regroup(base), regroup(bits != 0),
+                         gsize * blk, win, clip_max=np_pad)
     cov.update(base=base, bits=bits, n_pad=np_pad,
-               ncols=len(win_cols), blk=blk, win=win)
+               ncols=ncols, blk=blk, win=win, gsize=gsize)
     return cov
 
 
@@ -286,7 +321,7 @@ def _masked_slots(g, bits, c, cdt):
     return s0 * a0 + s1 * a1, s1 * b1, s1 * c1 + s2 * c2
 
 
-def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm,
+def _pipeline_helpers(ngroups, b, itoff_ref, itst_ref, win_ref, sem, src_hbm,
                       win):
     """Shared flat-item machinery of the fwd/bwd kernels.
 
@@ -303,7 +338,7 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm,
     item that Mosaic otherwise elides by forwarding the fresh one-hot to
     the MXU.
     """
-    total = itoff_ref[b * (ncols + 1) + ncols]
+    total = itoff_ref[b * (ngroups + 1) + ngroups]
 
     def st(i):
         return pl.multiple_of(
@@ -326,8 +361,8 @@ def _pipeline_helpers(ncols, b, itoff_ref, itst_ref, win_ref, sem, src_hbm,
     return total, st, dma, warmup
 
 
-def _fwd_kernel(ncols, c, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
-                base_ref, bits_ref,
+def _fwd_kernel(ncols, gs, c, cout, nb, blk, win, itoff_ref, itcol_ref,
+                itst_ref, base_ref, bits_ref,
                 w3_hbm, w_ref, o_ref, acc_ref, oh_ref, win_ref, sem):
     """Grid (nb,): one BLK-row output block per step.
 
@@ -339,17 +374,15 @@ def _fwd_kernel(ncols, c, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
     win_ref [2, WIN, 3C]; w [ncols*3, C, cout] whole in VMEM.
     """
     b = pl.program_id(0)
+    ng = ncols // gs
     acc_ref[:] = jnp.zeros_like(acc_ref)
     f32 = jnp.float32
     cdt = win_ref.dtype
     total, st, dma, warmup = _pipeline_helpers(
-        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm, win)
+        ng, b, itoff_ref, itst_ref, win_ref, sem, w3_hbm, win)
     warmup()
 
-    def col_body(j, _unused):
-        loc_abs = base_ref[j, :]                             # [blk]
-        bits = bits_ref[j, :]
-
+    def grp_body(g, _unused):
         def body(i, _):
             slot = i % NSLOT
 
@@ -358,27 +391,31 @@ def _fwd_kernel(ncols, c, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
                 dma((i + NSLOT - 1) % NSLOT, st(i + NSLOT - 1)).start()
 
             dma(slot, st(i)).wait()
-            loc = loc_abs - st(i)
             iota = jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
-            oh_ref[:] = (iota == loc[:, None]).astype(cdt)
-            g = jnp.dot(oh_ref[:], win_ref[slot],
-                        preferred_element_type=f32).astype(cdt)  # [blk,3C]
-            gm, g0, gp = _masked_slots(g, bits, c, cdt)
-            acc_ref[:] += jnp.dot(gm, w_ref[3 * j],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(g0, w_ref[3 * j + 1],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(gp, w_ref[3 * j + 2],
-                                  preferred_element_type=f32)
+            for u in range(gs):
+                j = g * gs + u
+                loc = base_ref[j, :] - st(i)
+                bits = bits_ref[j, :]
+                oh_ref[:] = (iota == loc[:, None]).astype(cdt)
+                g_blk = jnp.dot(oh_ref[:], win_ref[slot],
+                                preferred_element_type=f32
+                                ).astype(cdt)                # [blk, 3C]
+                gm, g0, gp = _masked_slots(g_blk, bits, c, cdt)
+                acc_ref[:] += jnp.dot(gm, w_ref[3 * j],
+                                      preferred_element_type=f32)
+                acc_ref[:] += jnp.dot(g0, w_ref[3 * j + 1],
+                                      preferred_element_type=f32)
+                acc_ref[:] += jnp.dot(gp, w_ref[3 * j + 2],
+                                      preferred_element_type=f32)
             return 0
 
-        lo = itoff_ref[b * (ncols + 1) + j]
-        hi = itoff_ref[b * (ncols + 1) + j + 1]
+        lo = itoff_ref[b * (ng + 1) + g]
+        hi = itoff_ref[b * (ng + 1) + g + 1]
         jax.lax.fori_loop(lo, hi, body, 0)
         return 0
 
-    for j in range(ncols):
-        col_body(j, 0)
+    for g in range(ng):
+        grp_body(g, 0)
 
     o_ref[:] = acc_ref[:]
 
@@ -388,10 +425,11 @@ def _run_fwd(w3_p, w_cols, plan):
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
     blk, win = plan["blk"], plan["win"]
+    gs = plan.get("gsize", 1)
     nb = np_pad // blk
     c = w_cols.shape[1]
     cout = w_cols.shape[-1]
-    kern = partial(_fwd_kernel, ncols, c, cout, nb, blk, win)
+    kern = partial(_fwd_kernel, ncols, gs, c, cout, nb, blk, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,            # it_off, it_col, it_start -> SMEM
         grid=(nb,),
@@ -411,14 +449,15 @@ def _run_fwd(w3_p, w_cols, plan):
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((np_pad, cout), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_for(ncols, c, cout, blk, win)),
         interpret=INTERPRET,
     )(plan["it_off"], plan["it_col"], plan["it_start"], plan["base"],
       plan["bits"], w3_p, w_cols)
 
 
-def _bwd_kernel(ncols, cin, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
-                base_ref, bits_ref,
+def _bwd_kernel(ncols, gs, cin, cout, nb, blk, win, itoff_ref, itcol_ref,
+                itst_ref, base_ref, bits_ref,
                 w3d_hbm, wt_ref, featsb_ref, df_ref, dw_ref,
                 acc_ref, oh_ref, win_ref, dwacc_ref, sem):
     """Fused backward, grid (nb,): per block, gather the dout w3 windows
@@ -436,17 +475,15 @@ def _bwd_kernel(ncols, cin, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
         dwacc_ref[:] = jnp.zeros_like(dwacc_ref)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
+    ng = ncols // gs
     f32 = jnp.float32
     cdt = win_ref.dtype
     fb = featsb_ref[:]                                   # [blk, cin]
     total, st, dma, warmup = _pipeline_helpers(
-        ncols, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm, win)
+        ng, b, itoff_ref, itst_ref, win_ref, sem, w3d_hbm, win)
     warmup()
 
-    def col_body(j, _unused):
-        loc_abs = base_ref[j, :]
-        bits = bits_ref[j, :]
-
+    def grp_body(g, _unused):
         def body(i, _):
             slot = i % NSLOT
 
@@ -455,36 +492,39 @@ def _bwd_kernel(ncols, cin, cout, nb, blk, win, itoff_ref, itcol_ref, itst_ref,
                 dma((i + NSLOT - 1) % NSLOT, st(i + NSLOT - 1)).start()
 
             dma(slot, st(i)).wait()
-            loc = loc_abs - st(i)
             iota = jax.lax.broadcasted_iota(jnp.int32, (blk, win), 1)
-            oh_ref[:] = (iota == loc[:, None]).astype(cdt)
-            g = jnp.dot(oh_ref[:], win_ref[slot],
-                        preferred_element_type=f32).astype(cdt)
-            gm, g0, gp = _masked_slots(g, bits, cout, cdt)
-            # dfeats: conv over dout with wt[j] = W[flip(row)]^T
-            acc_ref[:] += jnp.dot(gm, wt_ref[3 * j],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(g0, wt_ref[3 * j + 1],
-                                  preferred_element_type=f32)
-            acc_ref[:] += jnp.dot(gp, wt_ref[3 * j + 2],
-                                  preferred_element_type=f32)
-            # dW: slot-masked dout blocks against the feats block
-            dims = (((0,), (0,)), ((), ()))
-            dwacc_ref[3 * j] += jax.lax.dot_general(
-                fb, gm, dims, preferred_element_type=f32)
-            dwacc_ref[3 * j + 1] += jax.lax.dot_general(
-                fb, g0, dims, preferred_element_type=f32)
-            dwacc_ref[3 * j + 2] += jax.lax.dot_general(
-                fb, gp, dims, preferred_element_type=f32)
+            for u in range(gs):
+                j = g * gs + u
+                loc = base_ref[j, :] - st(i)
+                bits = bits_ref[j, :]
+                oh_ref[:] = (iota == loc[:, None]).astype(cdt)
+                g_blk = jnp.dot(oh_ref[:], win_ref[slot],
+                                preferred_element_type=f32).astype(cdt)
+                gm, g0, gp = _masked_slots(g_blk, bits, cout, cdt)
+                # dfeats: conv over dout with wt[j] = W[flip(row)]^T
+                acc_ref[:] += jnp.dot(gm, wt_ref[3 * j],
+                                      preferred_element_type=f32)
+                acc_ref[:] += jnp.dot(g0, wt_ref[3 * j + 1],
+                                      preferred_element_type=f32)
+                acc_ref[:] += jnp.dot(gp, wt_ref[3 * j + 2],
+                                      preferred_element_type=f32)
+                # dW: slot-masked dout blocks against the feats block
+                dims = (((0,), (0,)), ((), ()))
+                dwacc_ref[3 * j] += jax.lax.dot_general(
+                    fb, gm, dims, preferred_element_type=f32)
+                dwacc_ref[3 * j + 1] += jax.lax.dot_general(
+                    fb, g0, dims, preferred_element_type=f32)
+                dwacc_ref[3 * j + 2] += jax.lax.dot_general(
+                    fb, gp, dims, preferred_element_type=f32)
             return 0
 
-        lo = itoff_ref[b * (ncols + 1) + j]
-        hi = itoff_ref[b * (ncols + 1) + j + 1]
+        lo = itoff_ref[b * (ng + 1) + g]
+        hi = itoff_ref[b * (ng + 1) + g + 1]
         jax.lax.fori_loop(lo, hi, body, 0)
         return 0
 
-    for j in range(ncols):
-        col_body(j, 0)
+    for g in range(ng):
+        grp_body(g, 0)
 
     df_ref[:] = acc_ref[:]
 
@@ -499,8 +539,9 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
     np_pad = plan["n_pad"]
     ncols = plan["ncols"]
     blk, win = plan["blk"], plan["win"]
+    gs = plan.get("gsize", 1)
     nb = np_pad // blk
-    kern = partial(_bwd_kernel, ncols, cin, cout, nb, blk, win)
+    kern = partial(_bwd_kernel, ncols, gs, cin, cout, nb, blk, win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
@@ -528,7 +569,8 @@ def _run_bwd(w3d_p, feats_p, wt_cols, plan, cin, cout):
             jax.ShapeDtypeStruct((np_pad, cin), jnp.float32),
             jax.ShapeDtypeStruct((3 * ncols, cin, cout), jnp.float32),
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit_for(ncols, cin, cout, blk, win)),
         interpret=INTERPRET,
     )(plan["it_off"], plan["it_col"], plan["it_start"], plan["base"],
       plan["bits"], w3d_p, wt_cols, feats_p)
@@ -643,7 +685,8 @@ def _fwd_or_fallback(feats, weights, kmap, offsets_key, cdt, plan):
 def _plan_from_args(base, bits, it_off, it_col, it_start, overflow, sizes):
     return dict(base=base, bits=bits, it_off=it_off, it_col=it_col,
                 it_start=it_start, overflow=overflow, n_pad=base.shape[1],
-                ncols=base.shape[0], blk=sizes[0], win=sizes[1])
+                ncols=base.shape[0], blk=sizes[0], win=sizes[1],
+                gsize=sizes[2] if len(sizes) > 2 else 1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -719,7 +762,8 @@ def pallas_window_subm_conv(
     assert kmap.shape[1] == feats.shape[0]
     key = _plan_key(offsets)
     ncols = len(_COLUMN_PLANS[key][0])
-    sizes = _size_policy(ncols, weights.shape[1], weights.shape[2])
+    gsize = GSIZE if ncols % max(GSIZE, 1) == 0 else 1
+    sizes = _size_policy(ncols, weights.shape[1], weights.shape[2]) + (gsize,)
     plan = build_window_plan(kmap, key, *sizes)
     out = _pallas_conv_core(
         feats, weights, key, compute_dtype, sizes, kmap,

@@ -160,3 +160,49 @@ def test_size_policy_vmem_clamp(monkeypatch):
     # explicit ladder entries below the module floor are rejected
     monkeypatch.setenv("OPENPCSEG_PALLAS_POLICY", "256:256")
     assert pc._size_policy(8, 32, 32) == (512, 512)
+
+
+def test_grouped_windows_fwd_bwd_parity(rng, monkeypatch):
+    # GSIZE=3: the three same-dx columns share one window cover + DMA
+    monkeypatch.setattr(pc, "GSIZE", 3)
+    feats, kmap, valid = scene(rng)
+    offs = kernel_offsets(3)
+    W = jnp.asarray(
+        rng.normal(size=(27, feats.shape[1], 12)).astype(np.float32))
+    plan = pc.build_window_plan(kmap, pc._plan_key(offs))
+    assert plan["gsize"] == 3 and not bool(plan["overflow"])
+
+    def loss_ref(f, w):
+        return jnp.sum(jnp.sin(window_subm_conv(
+            f, w, kmap, valid, offs, compute_dtype=jnp.float32)))
+
+    def loss_pal(f, w):
+        return jnp.sum(jnp.sin(pc.pallas_window_subm_conv(
+            f, w, kmap, valid, offs, compute_dtype=jnp.float32)))
+
+    ref, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(feats, W)
+    got, gp = jax.value_and_grad(loss_pal, argnums=(0, 1))(feats, W)
+    np.testing.assert_allclose(float(got), float(ref), rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               rtol=0.06, atol=0.06)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=0.06, atol=0.06)
+
+
+def test_grouped_windows_overflow_fallback(rng, monkeypatch):
+    # grouped cover must still detect overflow and fall back exactly
+    monkeypatch.setattr(pc, "GSIZE", 3)
+    monkeypatch.setattr(pc, "WIN", 16)
+    monkeypatch.setattr(pc, "NW", 2)
+    feats, kmap, valid = scene(rng)
+    offs = kernel_offsets(3)
+    plan = pc.build_window_plan(kmap, pc._plan_key(offs))
+    assert bool(plan["overflow"])
+    W = jnp.asarray(
+        rng.normal(size=(27, feats.shape[1], 12)).astype(np.float32))
+    ref = window_subm_conv(feats, W, kmap, valid, offs,
+                           compute_dtype=jnp.float32)
+    got = pc.pallas_window_subm_conv(feats, W, kmap, valid, offs,
+                                     compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -44,3 +44,22 @@ def test_missing_keys_kept():
     assert n == 1
     assert "classifier/kernel" in skipped and "classifier/bias" in skipped
     assert np.asarray(merged["classifier"]["bias"]).shape == (20,)
+
+
+def test_scan_layout_mismatch_raises():
+    import numpy as np
+    import pytest
+    from openpcseg_tpu.utils.checkpoint import merge_matching
+
+    stacked = {"stage1": {"ResidualBlock_0": {"k": np.zeros((2,))},
+                          "StackedBlocks_0": {"k": np.zeros((3, 2))}}}
+    unrolled = {"stage1": {"ResidualBlock_0": {"k": np.zeros((2,))},
+                           "ResidualBlock_1": {"k": np.zeros((2,))},
+                           "ResidualBlock_2": {"k": np.zeros((2,))}}}
+    with pytest.raises(ValueError, match="OPENPCSEG_SCAN_BLOCKS"):
+        merge_matching(stacked, unrolled)
+    with pytest.raises(ValueError, match="OPENPCSEG_SCAN_BLOCKS"):
+        merge_matching(unrolled, stacked)
+    # matching layouts still merge fine
+    merged, n, skipped = merge_matching(stacked, stacked)
+    assert n == 2 and not skipped

@@ -32,6 +32,9 @@ MODEL_CFG_FILES = {
     "cylinder": "tools/cfgs/voxel/semantic_kitti/cylinder_cy480_cr10.yaml",
     "rpvnet": "tools/cfgs/fusion/semantic_kitti/rpvnet_mk18_cr10.yaml",
     "cenet": "tools/cfgs/range/semantic_kitti/cenet_64x2048.yaml",
+    "fidnet": "tools/cfgs/range/semantic_kitti/fidnet_64x2048.yaml",
+    "rangenet": "tools/cfgs/range/semantic_kitti/rangenet_64x2048.yaml",
+    "salsanext": "tools/cfgs/range/semantic_kitti/salsanext_64x2048.yaml",
 }
 
 
@@ -154,17 +157,18 @@ def model_setup(name: str, cr: float):
 
         return cfgs, to_fusion
 
-    if name == "cenet":
+    if name in ("cenet", "fidnet", "rangenet", "salsanext"):
+        # MODEL block straight from the shipped config zoo (loss mix, aux
+        # heads etc. exactly as a real run would get them); KNN post off —
+        # the surrogate judges raw per-pixel learning dynamics
+        from openpcseg_tpu.config import cfg_from_yaml_file
+        ycfg = cfg_from_yaml_file(MODEL_CFG_FILES[name])
+        model_cfg = dict(ycfg.MODEL)
+        model_cfg["KNN_POST"] = False
         cfgs = CfgDict({
             "MODALITY": "range",
             "DATA": {"DATASET": "semantickitti", "H": 64, "W": 2048},
-            "MODEL": {
-                "NAME": "CENet", "IGNORE_LABEL": 0, "NUM_CLASS": 20,
-                "IF_BN": True, "IF_INTENSITY": True, "IF_RANGE": True,
-                "WITH_NORM": False, "LOSS": "dice", "IF_LS_LOSS": True,
-                "IF_BD_LOSS": True, "TOP_K_PERCENT_PIXELS": 1.0,
-                "IF_AUX": True, "AUX_WEIGHT": 1.0, "KNN_POST": False,
-            },
+            "MODEL": model_cfg,
             "OPTIM": _base_optim(),
             "TPU": {},
         })
@@ -197,6 +201,9 @@ def run_surrogate(args):
 
     enable_compilation_cache()
     cfgs, transform = model_setup(args.model, args.cr)
+    if args.lr_scale != 1.0:
+        cfgs.OPTIM.LR_PER_SAMPLE = (
+            float(cfgs.OPTIM.LR_PER_SAMPLE) * args.lr_scale)
     on_tpu = jax.devices()[0].platform != "cpu"
     num_class = 20
     task = SegTask(cfgs, num_class=num_class, batch_per_device=1,
@@ -205,7 +212,8 @@ def run_surrogate(args):
 
     # ray-casting is host-side numpy (~0.5 s/scan): generate each scan ONCE
     # up front and keep it host-resident; the loop only transfers
-    cache_f = f"/tmp/golden_scans_{args.n_train}.npz"
+    cache_f = (f"/tmp/golden_scans_{args.n_train}.npz" if args.n_val <= 16
+               else f"/tmp/golden_scans_{args.n_train}_v{args.n_val}.npz")
     t0 = time.time()
     if os.path.exists(cache_f):
         z = np.load(cache_f)
@@ -215,7 +223,7 @@ def run_surrogate(args):
     else:
         host = {}
         for seed in list(range(args.n_train)) + [10_000 + v
-                                                 for v in range(16)]:
+                                                 for v in range(args.n_val)]:
             host[seed] = raycast_batch(seed, 1, cap=131072)
             if len(host) % 32 == 0:
                 print(f"generated {len(host)} scans "
@@ -233,17 +241,19 @@ def run_surrogate(args):
                 for k, v in transform(host[seed], seed).items()}
         return xform_cache[seed]
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(args.seed)
     state = task.init_state(rng, batch_for(0))
     step = jax.jit(task.train_step, donate_argnums=(0,))
     estep = jax.jit(task.eval_step)
 
-    n_train, n_val = args.n_train, 16
+    n_train, n_val = args.n_train, args.n_val
+    # per-seed train-scan order (the scans themselves are shared + cached)
+    order = np.random.default_rng(args.seed).permutation(n_train)
     losses, curve, curve_raw, perclass = [], [], [], []
     t0 = time.time()
     pend = []
     for it in range(args.steps):
-        state, m = step(state, batch_for(it % n_train), rng)
+        state, m = step(state, batch_for(int(order[it % n_train])), rng)
         pend.append(m["loss"])
         if (it + 1) % 50 == 0:
             losses.append(
@@ -279,6 +289,8 @@ def run_surrogate(args):
     payload = {
         "kind": "raycast_surrogate",
         "model": f"{args.model} cr={args.cr}",
+        "seed": args.seed,
+        "lr_scale": args.lr_scale,
         "steps": args.steps,
         "n_train_scans": n_train, "n_val_scans": n_val,
         "loss_curve": losses,
@@ -307,7 +319,12 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--eval_every", type=int, default=400)
     ap.add_argument("--n_train", type=int, default=128)
+    ap.add_argument("--n_val", type=int, default=16)
     ap.add_argument("--cr", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init RNG + train-scan order (multi-seed bands)")
+    ap.add_argument("--lr_scale", type=float, default=1.0,
+                    help="LR multiplier (schedule-compression studies)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     if args.out is None:

@@ -22,3 +22,7 @@ run_bench strict-trace OPENPCSEG_PALLAS_STRICT=1 BENCH_PROFILE=/tmp/trace_strict
 echo "=== self-time strict ===" | tee -a "$LOG"
 python tools/perf/source_buckets.py /tmp/trace_strict 4 30 2>&1 | tee -a "$LOG"
 echo "=== queue-a done $(date +%T) ===" | tee -a "$LOG"
+
+run_bench group3 OPENPCSEG_PALLAS_GROUP=3
+run_bench group3-strict OPENPCSEG_PALLAS_GROUP=3 OPENPCSEG_PALLAS_STRICT=1
+echo "=== queue-a+ done $(date +%T) ===" | tee -a "$LOG"
