@@ -116,11 +116,11 @@ class SegTask:
             self.caps = default_caps(
                 cap0 * batch_per_device, spec["num_levels"], ratios
             )
-            # per-scan table mode (batch > 1): each scan owns a fixed cap
-            # slice at every level, keeping sorts / tree lookups O(per-scan)
-            # — fixes the measured ~8%/18% super-linear per-scan cost at
-            # batch 2/4 (BASELINE.md BENCH_DUP). OPENPCSEG_PER_SCAN=0
-            # restores the round-4 batch-summed tables for A/B.
+            # per-scan table mode (batch > 1, opt-in OPENPCSEG_PER_SCAN=1):
+            # each scan owns a fixed cap slice at every level, keeping
+            # sorts / tree lookups O(per-scan). Built to attack the
+            # measured super-linear batch cost (BASELINE.md BENCH_DUP) but
+            # the TPU A/B showed it LOSES end-to-end — see _use_per_scan.
             self.caps_per_scan = default_caps(
                 cap0, spec["num_levels"], ratios)
         else:
@@ -177,9 +177,15 @@ class SegTask:
     # ---------------------------------------------------------- pipeline --
 
     def _use_per_scan(self, batch_size: int) -> bool:
+        # TPU A/B (round 5, logs/tpu_queue_r05b.log): per-scan tables LOSE
+        # end-to-end at identical per-scan workload — dup batch-2 4.00 vs
+        # 4.59 scans/s summed, batch-4 3.70 — the per-scan geometry's fixed
+        # per-slice overhead outweighs the O(log total) sort/tree saving,
+        # so batch-summed tables stay the default (opt in with
+        # OPENPCSEG_PER_SCAN=1 for cap-isolation semantics).
         import os
         return batch_size > 1 and os.environ.get(
-            "OPENPCSEG_PER_SCAN", "1") != "0"
+            "OPENPCSEG_PER_SCAN", "0") == "1"
 
     def preprocess(self, batch: Dict[str, jax.Array]) -> Tuple[VoxelBatch, Any]:
         """Device-side voxelize + geometry pass (pure, jit-able)."""

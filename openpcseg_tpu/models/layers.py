@@ -39,6 +39,9 @@ from ..ops.sparse_conv import (
 import os as _os
 
 CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "auto")
+# pallas kernels for the k2/s2 strided/transposed convs (ops/pallas_updown.py)
+# — default off pending the TPU A/B (set 1 to enable on the pallas impl)
+UPDOWN_PALLAS = _os.environ.get("OPENPCSEG_UPDOWN_PALLAS", "0") == "1"
 
 
 def _resolve_conv_impl() -> str:
@@ -76,6 +79,10 @@ class SparseConv(nn.Module):
     # set True for transposed k2/s2 convs whose kmap fires exactly one
     # offset per output (SparseLevel.up_one_hot): one-gather fast path
     one_hot_kmap: bool = False
+    # set True for strided k2/s2 down convs whose kmap is the parity pair
+    # map (transpose of a one-hot up map, geometry._updown_from_inverse):
+    # enables the pallas pair-gather kernel under OPENPCSEG_UPDOWN_PALLAS
+    pair_kmap: bool = False
 
     @nn.compact
     def __call__(self, feats: jax.Array, kmap: Optional[jax.Array],
@@ -105,8 +112,18 @@ class SparseConv(nn.Module):
             impl = _resolve_conv_impl()
             if (impl in ("window", "pallas") and self.one_hot_kmap
                     and k == 8 and kmap_t is not None):
-                out = sparse_conv_up2(feats, w, kmap, out_valid, kmap_t,
-                                      compute_dtype=self.compute_dtype)
+                if impl == "pallas" and UPDOWN_PALLAS and cin >= 16:
+                    from ..ops.pallas_updown import pallas_conv_up2
+                    out = pallas_conv_up2(feats, w, kmap, out_valid, kmap_t,
+                                          compute_dtype=self.compute_dtype)
+                else:
+                    out = sparse_conv_up2(feats, w, kmap, out_valid, kmap_t,
+                                          compute_dtype=self.compute_dtype)
+            elif (impl == "pallas" and UPDOWN_PALLAS and self.pair_kmap
+                    and k == 8 and kmap_t is not None and cin >= 16):
+                from ..ops.pallas_updown import pallas_conv_down2
+                out = pallas_conv_down2(feats, w, kmap, out_valid, kmap_t,
+                                        compute_dtype=self.compute_dtype)
             elif (impl == "pallas" and ks == 3 and kmap_t is None
                     and kmap.shape[1] == feats.shape[0]
                     # tiny-Cin convs (the 4-channel stem entry) stay on the
@@ -199,10 +216,12 @@ class BasicConvBlock(nn.Module):
     kernel_size: int | tuple = 3
     axis_name: Optional[str] = None
     compute_dtype: jnp.dtype = jnp.float32
+    pair_kmap: bool = False
 
     @nn.compact
     def __call__(self, feats, kmap, out_valid, train: bool, kmap_t=None):
         x = SparseConv(self.features, self.kernel_size,
+                       pair_kmap=self.pair_kmap,
                        compute_dtype=self.compute_dtype)(
             feats, kmap, out_valid, kmap_t)
         x = MaskedBatchNorm(axis_name=self.axis_name)(x, out_valid, not train)

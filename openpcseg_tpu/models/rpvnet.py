@@ -123,7 +123,7 @@ class RPVNet(nn.Module):
     def _stage(self, feats, fine, coarse, planes, n_blocks, block_cls, train):
         x = BasicConvBlock(
             feats.shape[-1], kernel_size=2, axis_name=self.axis_name,
-            compute_dtype=self.compute_dtype,
+            pair_kmap=fine.up_one_hot, compute_dtype=self.compute_dtype,
         )(feats, coarse.down_kmap, coarse.valid, train, kmap_t=fine.up_kmap)
         return repeated_blocks(
             block_cls, planes, n_blocks, self.axis_name, self.compute_dtype,
