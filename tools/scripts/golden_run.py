@@ -277,7 +277,11 @@ def run_surrogate(args):
             # stable (re-verified on GOLDEN_r04 mink/spv/cyl curves).
             # Real SemanticKITTI val has every class in GT, so there the
             # two definitions coincide (reference protocol unaffected).
-            cropped = hist[: num_class - 1, : num_class - 1]
+            # NOTE: per[] covers classes 1..num_class-1 (crop drops the
+            # ignore class 0), so the GT-row mask must use the SAME crop —
+            # hist[:nc-1] would misalign by one (r4 bug, fixed r5).
+            from openpcseg_tpu.utils.metrics import crop_hist
+            cropped = crop_hist(hist, np.arange(num_class - 1))
             gt_present = cropped.sum(1) > 0
             miou = float(np.nanmean(per[gt_present]))
             curve.append((it + 1, miou))
