@@ -39,9 +39,13 @@ from ..ops.sparse_conv import (
 import os as _os
 
 CONV_IMPL = _os.environ.get("OPENPCSEG_CONV_IMPL", "auto")
-# pallas kernels for the k2/s2 strided/transposed convs (ops/pallas_updown.py)
-# — default off pending the TPU A/B (set 1 to enable on the pallas impl)
-UPDOWN_PALLAS = _os.environ.get("OPENPCSEG_UPDOWN_PALLAS", "0") == "1"
+# pallas kernels for the k2/s2 strided/transposed convs (ops/pallas_updown.py).
+# OPENPCSEG_UPDOWN_PALLAS: 1 force-on, 0 force-off, auto = on when the model
+# dispatch resolves to the pallas impl (i.e. a real TPU backend). Default
+# auto since the round-5 TPU A/B won at both batch sizes: 5.04 vs 4.81
+# scans/s/chip at b1, 4.82 vs 4.59 dup-b2 (logs/tpu_queue_r05c.log).
+_UPDOWN_ENV = _os.environ.get("OPENPCSEG_UPDOWN_PALLAS", "auto")
+UPDOWN_PALLAS = _UPDOWN_ENV == "1" or _UPDOWN_ENV == "auto"
 
 
 def _resolve_conv_impl() -> str:
@@ -155,6 +159,13 @@ class SparseConv(nn.Module):
         self.sow("flops", "conv", 2.0 * hits * cin * self.features,
                  reduce_fn=lambda a, b: a + b,
                  init_fn=lambda: jnp.float32(0.0))
+        # per-conv inventory for the speed-of-light model
+        # (tools/perf/sol_model.py): [hits, cin, cout, n_rows, k]. Separate
+        # collection so bench.py's "flops" leaf-sum stays a pure total.
+        self.sow("convinfo", "c",
+                 jnp.stack([hits, jnp.float32(cin),
+                            jnp.float32(self.features),
+                            jnp.float32(out.shape[0]), jnp.float32(k)]))
         return out
 
 
@@ -335,7 +346,8 @@ class StackedBlocks(nn.Module):
     def __call__(self, feats, kmap, valid, train: bool):
         scanned = nn.scan(
             _ScanBody,
-            variable_axes={"params": 0, "batch_stats": 0, "flops": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "flops": 0,
+                           "convinfo": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.n,
