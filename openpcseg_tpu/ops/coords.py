@@ -62,6 +62,63 @@ def make_keys(coords: jax.Array, valid: jax.Array) -> Keys:
     return Keys(hi.astype(jnp.int32), lo.astype(jnp.int32))
 
 
+def sort_keys_blocked(hi: jax.Array, lo: jax.Array, payload: jax.Array,
+                      blk: int):
+    """Lexicographic sort of (hi, lo) keys + payload for NEARLY-sorted input.
+
+    Downsampled voxel keys arrive 95-97% pair-sorted with bounded
+    displacement (measured on ray-cast scans: max 7.8k/5.2k/2.0k/0.6k at
+    L1-L4, ROADMAP round-4 plan #2), because the parent key of a key-sorted
+    child table is monotone in (b, x) and only locally shuffled by the
+    y/z bit drops. Two overlapping block-sort passes fully sort any
+    sequence whose rows are within ``blk // 2`` of their final position:
+    pass 1 sorts disjoint blocks of ``blk``, pass 2 re-sorts the same
+    blocks shifted by ``blk // 2``. An is-sorted check then picks the
+    blocked result or falls back to a full ``lax.sort`` via ``lax.cond``,
+    so the output is sorted UNCONDITIONALLY — the displacement bound is a
+    fast path, never a correctness assumption.
+
+    Why it can beat one global sort: both XLA sorts are bitonic-stage
+    loops, but the blocked passes run log2(blk)-squared comparator stages
+    on VMEM-resident [nb, blk] rows instead of log2(n)-squared stages with
+    whole-array HBM round trips.
+    """
+    n = hi.shape[0]
+    half = blk // 2
+    if n <= 2 * blk:  # too small for two passes to pay for themselves
+        return jax.lax.sort((hi, lo, payload), num_keys=2)
+
+    pad = (-n) % blk
+    hp = _pad_to(hi, n + pad, INT32_MAX)
+    lp = _pad_to(lo, n + pad, INT32_MAX)
+    pp = _pad_to(payload, n + pad, 0)
+    nb = (n + pad) // blk
+
+    def rows(x, m):
+        return x.reshape(m, blk)
+
+    hp, lp, pp = jax.lax.sort(
+        (rows(hp, nb), rows(lp, nb), rows(pp, nb)), num_keys=2)
+    hp, lp, pp = (x.reshape(-1) for x in (hp, lp, pp))
+
+    def mid(x):
+        return rows(x[half:-half], nb - 1)
+
+    mh, ml, mp = jax.lax.sort((mid(hp), mid(lp), mid(pp)), num_keys=2)
+    out = []
+    for full, m in ((hp, mh), (lp, ml), (pp, mp)):
+        out.append(jnp.concatenate(
+            [full[:half], m.reshape(-1), full[-half:]])[:n])
+    oh, ol, op = out
+
+    asc = (oh[1:] > oh[:-1]) | ((oh[1:] == oh[:-1]) & (ol[1:] >= ol[:-1]))
+    return jax.lax.cond(
+        jnp.all(asc),
+        lambda: (oh, ol, op),
+        lambda: jax.lax.sort((hi, lo, payload), num_keys=2),
+    )
+
+
 class UniqueResult(NamedTuple):
     coords: jax.Array       # [cap, 4] int32 unique coords, sorted by key; padding = -1
     valid: jax.Array        # [cap] bool
@@ -71,7 +128,8 @@ class UniqueResult(NamedTuple):
     keys: Keys              # [cap] sorted keys of the unique coords (INVALID pad)
 
 
-def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> UniqueResult:
+def unique_coords(coords: jax.Array, valid: jax.Array, cap: int,
+                  sort_block: int | None = None) -> UniqueResult:
     """Deduplicate coords into a fixed-capacity sorted table.
 
     TPU equivalent of ``sphash`` + ``torch.unique`` + ``sphashquery``
@@ -80,11 +138,18 @@ def unique_coords(coords: jax.Array, valid: jax.Array, cap: int) -> UniqueResult
 
     The output table is sorted by key, which is exactly what
     :func:`lookup_coords` needs — no separate table build.
+
+    ``sort_block``: when the input keys are known nearly-sorted (downsample
+    of a sorted table), route through :func:`sort_keys_blocked` with this
+    block size (always-correct fast path).
     """
     n = coords.shape[0]
     keys = make_keys(coords, valid)
     iota = jnp.arange(n, dtype=jnp.int32)
-    sh, sl, perm = jax.lax.sort((keys.hi, keys.lo, iota), num_keys=2)
+    if sort_block:
+        sh, sl, perm = sort_keys_blocked(keys.hi, keys.lo, iota, sort_block)
+    else:
+        sh, sl, perm = jax.lax.sort((keys.hi, keys.lo, iota), num_keys=2)
 
     valid_sorted = sh != INT32_MAX
     prev_hi = jnp.concatenate([jnp.full((1,), -INT32_MAX, jnp.int32), sh[:-1]])

@@ -19,6 +19,7 @@ offsets by the stride, get_kernel_offsets nn/utils/kernel.py).
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -193,7 +194,11 @@ def build_downsample(
     """
     s = jnp.asarray(_stride_arr(stride))
     down = jnp.concatenate([coords[:, :1], coords[:, 1:] // s], axis=1)
-    return unique_coords(down, valid, out_cap)
+    blk = int(os.environ.get("OPENPCSEG_BLOCKSORT", "0"))
+    # `coords` is a key-sorted table, so `down` is nearly sorted — eligible
+    # for the blocked sort (sort_keys_blocked docstring; A/B on TPU before
+    # defaulting).
+    return unique_coords(down, valid, out_cap, sort_block=blk or None)
 
 
 def build_down_kmap(
