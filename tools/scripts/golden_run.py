@@ -206,8 +206,17 @@ def run_surrogate(args):
             float(cfgs.OPTIM.LR_PER_SAMPLE) * args.lr_scale)
     on_tpu = jax.devices()[0].platform != "cpu"
     num_class = 20
+    # Schedule the LR over the ACTUAL run: warmup_frac of the steps ramp
+    # (WARMUP_EPOCH=1 -> one "epoch" = the warmup slice), cosine decay to
+    # ~0 by the last step. The pre-r5 protocol passed iters_per_epoch=
+    # steps/total_epochs=1, which put the ENTIRE run inside LR warmup (LR
+    # maximal at the final eval, never decaying) — root cause of the CENet
+    # +-8 tail swing and the range-model class-collapse oscillations
+    # (whole classes flipping 93->0.8->94 IoU across 100-step evals).
+    warm = max(1, int(args.steps * args.warmup_frac))
     task = SegTask(cfgs, num_class=num_class, batch_per_device=1,
-                   iters_per_epoch=args.steps, total_epochs=1,
+                   iters_per_epoch=warm,
+                   total_epochs=max(1, args.steps // warm),
                    compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
 
     # ray-casting is host-side numpy (~0.5 s/scan): generate each scan ONCE
@@ -295,6 +304,10 @@ def run_surrogate(args):
         "model": f"{args.model} cr={args.cr}",
         "seed": args.seed,
         "lr_scale": args.lr_scale,
+        "warmup_frac": args.warmup_frac,
+        "schedule": (f"linear warmup {warm} steps + cosine decay to "
+                     f"step {args.steps}" if args.warmup_frac < 1.0
+                     else "all-warmup (pre-r5 protocol)"),
         "steps": args.steps,
         "n_train_scans": n_train, "n_val_scans": n_val,
         "loss_curve": losses,
@@ -329,6 +342,12 @@ def main():
                     help="init RNG + train-scan order (multi-seed bands)")
     ap.add_argument("--lr_scale", type=float, default=1.0,
                     help="LR multiplier (schedule-compression studies)")
+    ap.add_argument("--warmup_frac", type=float, default=1.0,
+                    help="fraction of steps spent in LR warmup. 0.1 is the "
+                         "fixed protocol (10% ramp + cosine decay); the "
+                         "1.0 default reproduces the pre-r5 all-warmup "
+                         "protocol and is kept only while the r05d sweep "
+                         "drains — flip to 0.1 after")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     if args.out is None:
