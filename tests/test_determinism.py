@@ -33,12 +33,17 @@ def test_same_seed_same_losses():
     b = {k: jnp.asarray(v) for k, v in
          synthetic_batch(0, 1, n_points=1500).items()}
 
+    # ONE jitted step shared by both runs (compiling the identical HLO
+    # twice costs ~2 min on this box and tests XLA, not the product):
+    # determinism of init_state + train_step under a fixed seed is the
+    # property the reference's --fix_random_seed provides.
+    task = SegTask(_cfg(), 20, batch_per_device=1,
+                   iters_per_epoch=10, total_epochs=2)
+    step = jax.jit(task.train_step)
+
     def run():
-        task = SegTask(_cfg(), 20, batch_per_device=1,
-                       iters_per_epoch=10, total_epochs=2)
         rng = jax.random.PRNGKey(7)
         state = task.init_state(rng, b)
-        step = jax.jit(task.train_step)
         out = []
         for _ in range(3):
             state, m = step(state, b, rng)

@@ -6,6 +6,7 @@ reference call site wires them).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openpcseg_tpu.config import CfgDict
 from openpcseg_tpu.data import synthetic_batch
@@ -51,6 +52,7 @@ def test_wce_loss_trains_semantickitti():
     assert np.isfinite(loss) and loss > 0
 
 
+@pytest.mark.slow
 def test_group_softmax_trains_waymo():
     loss = run_one_step("waymo", 23, ["CELoss", "GroupSoftmax"], [1.0, 1.0])
     assert np.isfinite(loss) and loss > 0

@@ -57,6 +57,7 @@ def _run_steps(monkeypatch, flag):
     return losses, int(m["num_voxels"]), np.asarray(ev["hist"])
 
 
+@pytest.mark.slow
 def test_per_scan_matches_batch_summed(monkeypatch):
     l1, n1, h1 = _run_steps(monkeypatch, "1")
     l0, n0, h0 = _run_steps(monkeypatch, "0")
@@ -93,6 +94,7 @@ def test_per_scan_preprocess_layout(monkeypatch):
         assert (km[hit] // caps[l] == owner[hit]).all()
 
 
+@pytest.mark.slow
 def test_per_scan_cylinder_smoke(monkeypatch):
     monkeypatch.setenv("OPENPCSEG_PER_SCAN", "1")
     cfg = CfgDict({

@@ -54,6 +54,7 @@ def test_waymo_fusion_view_sample(waymo_root):
     assert s["feats"].shape[1] == 5                 # x,y,z,tanh(i),tanh(e)
 
 
+@pytest.mark.slow
 def test_rpvnet_on_waymo_one_step(waymo_root):
     cfgs = CfgDict({
         "MODALITY": "fusion",
