@@ -139,6 +139,10 @@ def build_pyramid(
                                                   # index (e.g. the dedup
                                                   # inverse map) to skip the
                                                   # level-0 point lookup
+    sort_block: Optional[int] = None,   # blocked nearly-sorted downsample
+                                        # sort (ops.coords.sort_keys_blocked);
+                                        # leave None on vmapped paths — see
+                                        # build_downsample
 ) -> VoxelPyramid:
     """Build an L-level pyramid with all kernel maps.
 
@@ -175,7 +179,8 @@ def build_pyramid(
     for l in range(1, num_levels):
         prev = levels[l - 1]
         f = factors[l]
-        down = build_downsample(prev.coords, prev.valid, caps[l], stride=f)
+        down = build_downsample(prev.coords, prev.valid, caps[l], stride=f,
+                                sort_block=sort_block)
         inverses.append(down.inverse)
         level_counts.append(down.num_unique)
         pstride = prev.stride if isinstance(prev.stride, tuple) else (

@@ -10,6 +10,7 @@ minkunet.py:436-455).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -201,6 +202,11 @@ class SegTask:
             devox_levels=spec["devox_levels"],
             p2v_levels=spec["p2v_levels"],
         )
+        if not per_scan:
+            # blocked nearly-sorted downsample sort; only on the flat path
+            # (under the per-scan vmap, cond->select runs both sort arms)
+            blk = int(os.environ.get("OPENPCSEG_BLOCKSORT", "0"))
+            geom_kw["sort_block"] = blk or None
         if self.modality == "cylinder":
             mk = cylinder_points_per_scan if per_scan else cylinder_points_batch
             vb = mk(

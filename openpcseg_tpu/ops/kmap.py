@@ -19,7 +19,6 @@ offsets by the stride, get_kernel_offsets nn/utils/kernel.py).
 """
 from __future__ import annotations
 
-import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -185,20 +184,23 @@ def build_downsample(
     valid: jax.Array,
     out_cap: int,
     stride: Stride = 2,
+    sort_block: int | None = None,
 ) -> UniqueResult:
     """Coords of the next level: unique(floor(c / stride)), per-axis stride
     (Cylinder3D pools with (2, 2, 1), reference cylinder_ts.py:207-215).
 
     Replaces spdownsample + unique (reference: torchsparse
     nn/functional/downsample.py:11-52).
+
+    `coords` being a key-sorted table makes `down` nearly sorted, so the
+    caller may pass ``sort_block`` to route through the blocked sort
+    (sort_keys_blocked). Callers must NOT set it on a vmapped path: under
+    vmap, ``lax.cond`` lowers to select and executes BOTH arms, so the
+    full-sort fallback would always run on top of the blocked passes.
     """
     s = jnp.asarray(_stride_arr(stride))
     down = jnp.concatenate([coords[:, :1], coords[:, 1:] // s], axis=1)
-    blk = int(os.environ.get("OPENPCSEG_BLOCKSORT", "0"))
-    # `coords` is a key-sorted table, so `down` is nearly sorted — eligible
-    # for the blocked sort (sort_keys_blocked docstring; A/B on TPU before
-    # defaulting).
-    return unique_coords(down, valid, out_cap, sort_block=blk or None)
+    return unique_coords(down, valid, out_cap, sort_block=sort_block)
 
 
 def build_down_kmap(

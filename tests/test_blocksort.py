@@ -81,8 +81,9 @@ def test_invalid_padding_keys_sort_last():
 
 
 @pytest.mark.parametrize("blk", [0, 1024])
-def test_unique_coords_downsample_equivalence(blk, monkeypatch):
-    """build_downsample with OPENPCSEG_BLOCKSORT must produce the identical
+def test_unique_coords_downsample_equivalence(blk):
+    """build_downsample with sort_block (the OPENPCSEG_BLOCKSORT path,
+    threaded through engine/task.py geom_kw) must produce the identical
     unique table + inverse as the global-sort path on a sorted fine table
     (the real call pattern: parent keys of a key-sorted child table)."""
     from openpcseg_tpu.ops.kmap import build_downsample
@@ -99,9 +100,8 @@ def test_unique_coords_downsample_equivalence(blk, monkeypatch):
     valid[5500:] = False
     fine = unique_coords(jnp.asarray(coords), jnp.asarray(valid), n)
 
-    monkeypatch.setenv("OPENPCSEG_BLOCKSORT", str(blk))
-    got = build_downsample(fine.coords, fine.valid, cap, stride=2)
-    monkeypatch.setenv("OPENPCSEG_BLOCKSORT", "0")
+    got = build_downsample(fine.coords, fine.valid, cap, stride=2,
+                           sort_block=blk or None)
     want = build_downsample(fine.coords, fine.valid, cap, stride=2)
 
     np.testing.assert_array_equal(np.asarray(got.coords),
@@ -111,6 +111,48 @@ def test_unique_coords_downsample_equivalence(blk, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.inverse),
                                   np.asarray(want.inverse))
     assert int(got.num_unique) == int(want.num_unique)
+
+
+def test_env_flag_wires_through_preprocess(monkeypatch):
+    """OPENPCSEG_BLOCKSORT must reach the pyramid build via task.preprocess
+    and leave every level's tables unchanged (flat path only; the per-scan
+    vmap path intentionally ignores the flag — see build_downsample)."""
+    import jax.numpy as jnp
+
+    from openpcseg_tpu.config import CfgDict
+    from openpcseg_tpu.data import synthetic_batch
+    from openpcseg_tpu.engine import SegTask
+
+    cfgs = CfgDict({
+        "DATA": {"DATASET": "semantickitti", "VOXEL_SIZE": 0.2},
+        "MODEL": {"NAME": "MinkUNet", "IGNORE_LABEL": 0,
+                  "IN_FEATURE_DIM": 4, "BLOCK": "ResBlock",
+                  "NUM_LAYER": [1] * 8, "PLANES": [8] * 9, "cr": 1.0,
+                  "DROPOUT_P": 0.0, "LABEL_SMOOTHING": 0.0},
+        "OPTIM": {"BATCH_SIZE_PER_GPU": 1, "NUM_EPOCHS": 1,
+                  "OPTIMIZER": "sgd", "LR_PER_SAMPLE": 0.01,
+                  "WEIGHT_DECAY": 0.0, "MOMENTUM": 0.9, "NESTEROV": True,
+                  "GRAD_NORM_CLIP": 10,
+                  "SCHEDULER": "linear_warmup_with_cosdecay",
+                  "WARMUP_EPOCH": 1},
+        "TPU": {"VOXEL_CAP_PER_SCAN": 2048,
+                "VOXEL_CAP_RATIOS": [1.0, 0.8, 0.5, 0.3, 0.2]},
+    })
+    task = SegTask(cfgs, 20, batch_per_device=1, iters_per_epoch=5)
+    b = {k: jnp.asarray(v) for k, v in
+         synthetic_batch(0, 1, n_points=1500).items()}
+
+    monkeypatch.setenv("OPENPCSEG_BLOCKSORT", "256")
+    _, pyr_blk = task.preprocess(b)
+    monkeypatch.setenv("OPENPCSEG_BLOCKSORT", "0")
+    _, pyr_ref = task.preprocess(b)
+    for la, lb in zip(pyr_blk.levels, pyr_ref.levels):
+        np.testing.assert_array_equal(np.asarray(la.keys.hi),
+                                      np.asarray(lb.keys.hi))
+        np.testing.assert_array_equal(np.asarray(la.keys.lo),
+                                      np.asarray(lb.keys.lo))
+        np.testing.assert_array_equal(np.asarray(la.subm_kmap),
+                                      np.asarray(lb.subm_kmap))
 
 
 def test_make_keys_roundtrip_guard():
