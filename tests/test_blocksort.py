@@ -113,6 +113,7 @@ def test_unique_coords_downsample_equivalence(blk):
     assert int(got.num_unique) == int(want.num_unique)
 
 
+@pytest.mark.slow  # opt-in flag (default off — lost the r5 TPU A/B)
 def test_env_flag_wires_through_preprocess(monkeypatch):
     """OPENPCSEG_BLOCKSORT must reach the pyramid build via task.preprocess
     and leave every level's tables unchanged (flat path only; the per-scan

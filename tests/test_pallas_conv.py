@@ -162,6 +162,7 @@ def test_size_policy_vmem_clamp(monkeypatch):
     assert pc._size_policy(8, 32, 32) == (512, 512)
 
 
+@pytest.mark.slow  # GSIZE>1 is an opt-in (default 1 — lost the r5 TPU A/B)
 def test_grouped_windows_fwd_bwd_parity(rng, monkeypatch):
     # GSIZE=3: the three same-dx columns share one window cover + DMA
     monkeypatch.setattr(pc, "GSIZE", 3)
@@ -189,6 +190,7 @@ def test_grouped_windows_fwd_bwd_parity(rng, monkeypatch):
                                rtol=0.06, atol=0.06)
 
 
+@pytest.mark.slow  # GSIZE>1 is an opt-in (default 1 — lost the r5 TPU A/B)
 def test_grouped_windows_overflow_fallback(rng, monkeypatch):
     # grouped cover must still detect overflow and fall back exactly
     monkeypatch.setattr(pc, "GSIZE", 3)

@@ -9,6 +9,10 @@ import numpy as np
 import pytest
 
 import openpcseg_tpu.ops.pallas_conv as pc
+
+# Strict mode is a diagnostic opt-in (default off — lost the r5 TPU A/B);
+# its parity/poison tests live in the slow tier.
+pytestmark = pytest.mark.slow
 from openpcseg_tpu.ops import kernel_offsets
 from openpcseg_tpu.ops.sparse_conv import window_subm_conv
 

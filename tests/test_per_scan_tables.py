@@ -13,6 +13,10 @@ from openpcseg_tpu.config import CfgDict
 from openpcseg_tpu.data import synthetic_batch
 from openpcseg_tpu.engine import SegTask
 
+# Per-scan tables are an opt-in (OPENPCSEG_PER_SCAN=1, default off — lost
+# the r5 TPU A/B); equivalence tests live in the slow tier.
+pytestmark = pytest.mark.slow
+
 NUM_CLASS = 20
 
 

@@ -3,9 +3,16 @@ sparse conv — values AND gradients."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openpcseg_tpu.ops import build_subm_kmap, sparse_conv, unique_coords
-from openpcseg_tpu.ops.tiled import (
+
+# The dense-tile formulation is an explored alternative with no production
+# call site (the window-column / pallas convs won); its oracle tests live
+# in the slow tier.
+pytestmark = pytest.mark.slow
+
+from openpcseg_tpu.ops.tiled import (  # noqa: E402
     build_tiles,
     fill_halo,
     tiled_subm_conv_voxels,
