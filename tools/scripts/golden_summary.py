@@ -88,7 +88,13 @@ def main():
                     "pre-r5 protocol whose 800 steps were ALL warmup (LR "
                     "maximal at the final eval — root cause of the range-"
                     "model tail swings; kept for history only). Acceptance "
-                    "thresholds come from the fixed protocol.")}
+                    "thresholds come from the fixed protocol. Surrogate "
+                    "mIoU is a WITHIN-model regression gate, not a cross-"
+                    "model ranking: the data-derived GT-present denominator "
+                    "is per-pipeline (voxel models score 15-16 classes incl. "
+                    "rare ones; cylinder/range projections crop rare-class "
+                    "points -> 10-12 common classes, inflating their "
+                    "absolute numbers).")}
     summarize(collect(["GOLDEN_r05f_{m}_s*.json"]), "models", out,
               "Fixed protocol (10% warmup + cosine decay):")
     summarize(collect(["GOLDEN_r04_{m}.json", "GOLDEN_r05_{m}_s*.json"]),
